@@ -1,0 +1,21 @@
+from .boxes import (
+    bbox_ioa,
+    bbox_iou,
+    box_iou,
+    clip_coords,
+    iou_loss,
+    scale_coords,
+    wh_iou,
+    xywh2xyxy,
+    xywhn2xyxy,
+    xyxy2xywh,
+    xyxy2xywhn,
+)
+from .nms import batched_nms, non_max_suppression, non_max_suppression_ssod
+
+__all__ = [
+    "bbox_ioa", "bbox_iou", "box_iou", "clip_coords", "iou_loss",
+    "scale_coords", "wh_iou", "xywh2xyxy", "xywhn2xyxy", "xyxy2xywh",
+    "xyxy2xywhn", "batched_nms", "non_max_suppression",
+    "non_max_suppression_ssod",
+]

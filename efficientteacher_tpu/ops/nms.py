@@ -1,0 +1,271 @@
+"""Batched fixed-shape non-maximum suppression for TPU.
+
+Replaces the reference's host-side loop over `torchvision.ops.nms`
+(reference: utils/general.py:994-1098 `non_max_suppression`,
+utils/general.py:887-992 `non_max_suppression_ssod`) with a fully
+jittable, fixed-shape, on-device algorithm so teacher pseudo-label
+generation and eval decoding never round-trip to the host.
+
+Algorithm: boxes are score-sorted and processed in tiles. Each tile is
+first suppressed by the already-resolved keep set of earlier tiles
+(dense tile×tile IoU, MXU/VPU friendly), then within-tile suppression is
+resolved by fixpoint iteration of the monotone operator
+    a[j] <- base[j] and not any_i (a[i] and iou[i, j] > t, i < j)
+which converges to the exact greedy-NMS solution in (suppression-chain
+depth) iterations on the DAG of score-ordered overlaps. Sequential step
+count is O((K/tile)^2 + fixpoint) instead of O(K) for naive greedy.
+
+Semantics parity notes (vs reference non_max_suppression):
+  - candidate gate: obj > conf AND max cls prob > conf (general.py:1005)
+  - conf = obj_conf * cls_conf (general.py:1049)
+  - multi-label expansion over classes above threshold (general.py:1058)
+  - class-offset trick with max_wh = 7680 (general.py:1080)
+  - outputs capped at max_det = 300, sorted by confidence
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import box_iou, xywh2xyxy
+
+MAX_WH = 7680.0  # class-offset magnitude (reference general.py:1035)
+
+
+def _pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return box_iou(a, b)
+
+
+def greedy_nms_keep(
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thres: float,
+    tile: int = 256,
+) -> jnp.ndarray:
+    """Exact greedy NMS keep-mask over score-sorted `boxes` (K, 4) xyxy.
+
+    `valid` (K,) bool marks real candidates (padding rows must be False).
+    Returns a (K,) bool keep mask. K must be a multiple of `tile`.
+    """
+    k = boxes.shape[0]
+    assert k % tile == 0, f"K={k} must be a multiple of tile={tile}"
+    num_tiles = k // tile
+    tri = jnp.triu(jnp.ones((tile, tile), dtype=bool), 1)  # i < j strict
+
+    def outer(ti, keep):
+        row0 = ti * tile
+        tile_boxes = jax.lax.dynamic_slice(boxes, (row0, 0), (tile, 4))
+        base = jax.lax.dynamic_slice(valid, (row0,), (tile,))
+
+        def cross(tj, act):
+            prev_boxes = jax.lax.dynamic_slice(boxes, (tj * tile, 0), (tile, 4))
+            prev_keep = jax.lax.dynamic_slice(keep, (tj * tile,), (tile,))
+            iou = _pairwise_iou(prev_boxes, tile_boxes)
+            sup = jnp.any((iou > iou_thres) & prev_keep[:, None], axis=0)
+            return act & ~sup
+
+        base = jax.lax.fori_loop(0, ti, cross, base)
+
+        iou = _pairwise_iou(tile_boxes, tile_boxes)
+        sup_mat = (iou > iou_thres) & tri  # [i, j]: i may suppress j
+
+        def fix_cond(state):
+            _, changed, it = state
+            return changed & (it < tile)
+
+        def fix_body(state):
+            act, _, it = state
+            new = base & ~jnp.any(sup_mat & act[:, None], axis=0)
+            return new, jnp.any(new != act), it + 1
+
+        act, _, _ = jax.lax.while_loop(
+            fix_cond, fix_body, (base, jnp.bool_(True), jnp.int32(0))
+        )
+        return jax.lax.dynamic_update_slice(keep, act, (row0,))
+
+    keep = jax.lax.fori_loop(0, num_tiles, outer, valid)
+    return keep
+
+
+def _compact_keep(rows: jnp.ndarray, keep: jnp.ndarray, max_det: int):
+    """Scatter kept rows (already score-ordered) into a (max_det, C) output."""
+    slots = jnp.cumsum(keep) - 1
+    slots = jnp.where(keep, slots, max_det)  # out-of-bounds rows are dropped
+    out = jnp.zeros((max_det, rows.shape[-1]), rows.dtype)
+    out = out.at[slots].set(rows, mode="drop")
+    n = jnp.minimum(jnp.sum(keep), max_det)
+    valid = jnp.arange(max_det) < n
+    return out, valid
+
+
+class NMSOutput(NamedTuple):
+    """Fixed-shape detections: rows beyond `valid` are zero padding."""
+
+    detections: jnp.ndarray  # (B, max_det, C) - [xyxy, conf, cls, ...]
+    valid: jnp.ndarray       # (B, max_det) bool
+
+
+def _single_image_nms(
+    pred: jnp.ndarray,
+    nc: int,
+    conf_thres: float,
+    iou_thres: float,
+    multi_label: bool,
+    agnostic: bool,
+    max_nms: int,
+    max_det: int,
+    ssod: bool,
+    tile: int,
+):
+    """One image of raw predictions (N, 5+nc) xywh+obj+cls -> fixed detections."""
+    obj = pred[:, 4]
+    clsp = pred[:, 5 : 5 + nc]
+    boxes_xyxy = xywh2xyxy(pred[:, :4])
+    conf_mat = clsp * obj[:, None]  # conf = obj_conf * cls_conf
+
+    if ssod:
+        # reference non_max_suppression_ssod gate: obj > conf only
+        gate = obj > conf_thres
+    else:
+        gate = (obj > conf_thres) & (jnp.max(clsp, axis=-1) > conf_thres)
+
+    if multi_label and nc > 1:
+        # expand to (anchor, class) pairs; keep every pair above threshold
+        score = jnp.where(gate[:, None] & (conf_mat > conf_thres), conf_mat, -1.0)
+        flat = score.reshape(-1)
+        k_eff = min(max_nms, flat.shape[0])
+        top_scores, top_idx = jax.lax.top_k(flat, k_eff)
+        anchor = top_idx // nc
+        cls = (top_idx % nc).astype(jnp.float32)
+        cand_boxes = boxes_xyxy[anchor]
+        cand_valid = top_scores > 0
+        extra = (obj[anchor], jnp.max(clsp, axis=-1)[anchor]) if ssod else ()
+    else:
+        best_conf = jnp.max(conf_mat, axis=-1)
+        best_cls = jnp.argmax(conf_mat, axis=-1).astype(jnp.float32)
+        score = jnp.where(gate & (best_conf > conf_thres), best_conf, -1.0)
+        k_eff = min(max_nms, score.shape[0])
+        top_scores, top_idx = jax.lax.top_k(score, k_eff)
+        cand_boxes = boxes_xyxy[top_idx]
+        cls = best_cls[top_idx]
+        cand_valid = top_scores > 0
+        extra = (obj[top_idx], jnp.max(clsp, axis=-1)[top_idx]) if ssod else ()
+
+    # pad candidate set up to a tile multiple (padding rows are invalid)
+    k_eff = cand_boxes.shape[0]
+    tile = min(tile, max(128, 1 << (k_eff - 1).bit_length()))
+    k_pad = -(-k_eff // tile) * tile
+    if k_pad != k_eff:
+        pad = k_pad - k_eff
+        cand_boxes = jnp.pad(cand_boxes, ((0, pad), (0, 0)))
+        cls = jnp.pad(cls, (0, pad))
+        top_scores = jnp.pad(top_scores, (0, pad), constant_values=-1.0)
+        cand_valid = jnp.pad(cand_valid, (0, pad))
+        if ssod:
+            extra = tuple(jnp.pad(e, (0, pad)) for e in extra)
+
+    offset = jnp.where(agnostic, 0.0, MAX_WH)
+    nms_boxes = cand_boxes + (cls * offset)[:, None]
+    keep = greedy_nms_keep(nms_boxes, cand_valid, iou_thres, tile=tile)
+
+    cols = [cand_boxes, top_scores[:, None], cls[:, None]]
+    if ssod:
+        cols += [extra[0][:, None], extra[1][:, None]]
+    rows = jnp.concatenate(cols, axis=-1)
+    return _compact_keep(rows, keep, max_det)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nc", "multi_label", "agnostic", "max_nms", "max_det", "ssod", "tile",
+    ),
+)
+def batched_nms(
+    prediction: jnp.ndarray,
+    *,
+    nc: int,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    multi_label: bool = False,
+    agnostic: bool = False,
+    max_nms: int = 4096,
+    max_det: int = 300,
+    ssod: bool = False,
+    tile: int = 256,
+) -> NMSOutput:
+    """Batched NMS over raw decoded predictions (B, N, 5+nc).
+
+    Returns fixed-shape `NMSOutput`:
+      ssod=False -> detections (B, max_det, 6) = [x1 y1 x2 y2, conf, cls]
+                    (reference non_max_suppression, general.py:994)
+      ssod=True  -> detections (B, max_det, 8) = [..., obj_conf, cls_conf]
+                    (reference non_max_suppression_ssod, general.py:887)
+    """
+    prediction = prediction.astype(jnp.float32)
+    fn = functools.partial(
+        _single_image_nms,
+        nc=nc,
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        multi_label=multi_label,
+        agnostic=agnostic,
+        max_nms=max_nms,
+        max_det=max_det,
+        ssod=ssod,
+        tile=tile,
+    )
+    dets, valid = jax.vmap(fn)(prediction)
+    return NMSOutput(dets, valid)
+
+
+def non_max_suppression(
+    prediction,
+    conf_thres=0.25,
+    iou_thres=0.45,
+    agnostic=False,
+    multi_label=False,
+    max_det=300,
+    max_nms=4096,
+):
+    """Reference-shaped convenience wrapper (returns NMSOutput)."""
+    nc = prediction.shape[2] - 5
+    return batched_nms(
+        prediction,
+        nc=nc,
+        conf_thres=float(conf_thres),
+        iou_thres=float(iou_thres),
+        multi_label=bool(multi_label),
+        agnostic=bool(agnostic),
+        max_nms=max_nms,
+        max_det=max_det,
+        ssod=False,
+    )
+
+
+def non_max_suppression_ssod(
+    prediction,
+    conf_thres=0.25,
+    iou_thres=0.45,
+    agnostic=False,
+    multi_label=False,
+    max_det=300,
+    max_nms=2048,
+):
+    """SSOD pseudo-label NMS carrying [xyxy, conf, cls, obj_conf, cls_conf]."""
+    nc = prediction.shape[2] - 5
+    return batched_nms(
+        prediction,
+        nc=nc,
+        conf_thres=float(conf_thres),
+        iou_thres=float(iou_thres),
+        multi_label=bool(multi_label),
+        agnostic=bool(agnostic),
+        max_nms=max_nms,
+        max_det=max_det,
+        ssod=True,
+    )
