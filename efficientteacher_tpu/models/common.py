@@ -1,0 +1,446 @@
+"""Shared building blocks for the model zoo, as Flax modules.
+
+TPU-native counterparts of the reference's block library
+(reference: models/backbone/common.py — Conv:471, Bottleneck:534, C3:566,
+C2f:594, SPP:655, SPPF:682, Focus:711, RepVGGBlock:1002, ELAN:1523,
+ImplicitA/M:1482/1495). Differences from the reference are deliberate:
+
+  - NHWC layout and HWIO kernels (XLA/TPU native, feeds the MXU directly)
+  - bf16 compute / f32 params via the `dtype` attribute
+  - BatchNorm carries `axis_name` for cross-replica stats (the reference's
+    SyncBN option) and momentum/eps match the reference's overrides
+    (utils/torch_utils.py:167-169: eps 1e-3, momentum 0.03)
+  - submodule field names mirror the reference state_dict keys
+    (`cv1`, `m_0`, `stage2_1`, ...) so torch checkpoint import is a
+    mechanical name map
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    """Round channel count up to a multiple (reference utils/general.py:470)."""
+    return int(math.ceil(x / divisor) * divisor)
+
+
+def autopad(k: int, p: int | None = None) -> int:
+    return k // 2 if p is None else p
+
+
+def get_activation(name) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Activation registry (reference common.py get_activation)."""
+    if name in (True, "silu", "swish"):
+        return nn.silu
+    table = {
+        "relu": nn.relu,
+        "lrelu": lambda x: nn.leaky_relu(x, 0.1),
+        "relu6": nn.relu6,
+        "hard_swish": nn.hard_swish,
+        "hard_sigmoid": nn.hard_sigmoid,
+        "sigmoid": nn.sigmoid,
+        "identity": lambda x: x,
+        False: lambda x: x,
+        None: lambda x: x,
+    }
+    if name not in table:
+        raise KeyError(f"unsupported activation: {name!r}")
+    return table[name]
+
+
+def split_c3_act(act):
+    """C3-style paired activations, e.g. 'relu_hswish' = inner relu, final
+    hard_swish (reference common.py:573-584)."""
+    pairs = {
+        "relu_silu": ("relu", "silu"),
+        "relu_lrelu": ("relu", "lrelu"),
+        "relu_hswish": ("relu", "hard_swish"),
+    }
+    return pairs.get(act, (act, act))
+
+
+class ConvBase(nn.Module):
+    """Conv2D + BatchNorm + activation (reference Conv, common.py:471).
+
+    NHWC in/out. `fuse` folds BN into the conv at inference-export time via
+    the checkpoint utilities (not a module concern here).
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+    bn_momentum: float = 0.97  # reference BN momentum 0.03 => flax 1-0.03
+    bn_eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k, self.p)
+        x = nn.Conv(
+            self.c2,
+            (self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=self.g,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_eps,
+            axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return get_activation(self.act)(x)
+
+
+# The reference names this block `Conv`; keep an alias for readability at
+# call sites that mirror reference code paths.
+Conv = ConvBase
+
+
+class DWConv(nn.Module):
+    """Depthwise-separable grouping convenience (reference common.py:492)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g = math.gcd(x.shape[-1], self.c2)
+        return ConvBase(
+            self.c2, self.k, self.s, None, g, self.act,
+            dtype=self.dtype, axis_name=self.axis_name, name="conv",
+        )(x, train)
+
+
+class Bottleneck(nn.Module):
+    """Standard residual bottleneck (reference common.py:534)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: Tuple[int, int] = (1, 3)
+    e: float = 0.5
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = ConvBase(c_, self.k[0], 1, act=self.act, dtype=self.dtype,
+                     axis_name=self.axis_name, name="cv1")(x, train)
+        y = ConvBase(self.c2, self.k[1], 1, g=self.g, act=self.act,
+                     dtype=self.dtype, axis_name=self.axis_name, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            y = x + y
+        return y
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs (reference common.py:566)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inner_act, last_act = split_c3_act(self.act)
+        c_ = int(self.c2 * self.e)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        y1 = ConvBase(c_, 1, 1, act=inner_act, name="cv1", **kw)(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0, act=inner_act,
+                            name=f"m_{i}", **kw)(y1, train)
+        y2 = ConvBase(c_, 1, 1, act=inner_act, name="cv2", **kw)(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBase(self.c2, 1, 1, act=last_act, name="cv3", **kw)(y, train)
+
+
+class C2f(nn.Module):
+    """CSP bottleneck with 2 convs, v8-style (reference common.py:594)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        y = ConvBase(2 * c, 1, 1, act=self.act, name="cv1", **kw)(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(
+                Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0,
+                           act=self.act, name=f"m_{i}", **kw)(ys[-1], train)
+            )
+        y = jnp.concatenate(ys, axis=-1)
+        return ConvBase(self.c2, 1, 1, act=self.act, name="cv2", **kw)(y, train)
+
+
+class BottleneckCSP(nn.Module):
+    """Original CSP block (reference common.py:547)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        y1 = ConvBase(c_, 1, 1, act=self.act, name="cv1", **kw)(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0, act=True,
+                            name=f"m_{i}", **kw)(y1, train)
+        y1 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype, name="cv3")(y1)
+        y2 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype, name="cv2")(x)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            axis_name=self.axis_name if train else None, dtype=self.dtype,
+            name="bn",
+        )(y)
+        y = nn.leaky_relu(y, 0.1)
+        return ConvBase(self.c2, 1, 1, act=self.act, name="cv4", **kw)(y, train)
+
+
+def _max_pool_same(x, k: int):
+    return nn.max_pool(
+        x, (k, k), strides=(1, 1), padding=[(k // 2, k // 2), (k // 2, k // 2)]
+    )
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling - fast (reference common.py:682)."""
+
+    c2: int
+    k: int = 5
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inner_act, last_act = split_c3_act(self.act)
+        c_ = x.shape[-1] // 2
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        x = ConvBase(c_, 1, 1, act=inner_act, name="cv1", **kw)(x, train)
+        y1 = _max_pool_same(x, self.k)
+        y2 = _max_pool_same(y1, self.k)
+        y3 = _max_pool_same(y2, self.k)
+        y = jnp.concatenate([x, y1, y2, y3], axis=-1)
+        return ConvBase(self.c2, 1, 1, act=last_act, name="cv2", **kw)(y, train)
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling (reference common.py:655)."""
+
+    c2: int
+    k: Sequence[int] = (5, 9, 13)
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inner_act, last_act = split_c3_act(self.act)
+        c_ = x.shape[-1] // 2
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        x = ConvBase(c_, 1, 1, act=inner_act, name="cv1", **kw)(x, train)
+        ys = [x] + [_max_pool_same(x, k) for k in self.k]
+        y = jnp.concatenate(ys, axis=-1)
+        return ConvBase(self.c2, 1, 1, act=last_act, name="cv2", **kw)(y, train)
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem (reference common.py:711)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = jnp.concatenate(
+            [x[:, ::2, ::2], x[:, 1::2, ::2], x[:, ::2, 1::2], x[:, 1::2, 1::2]],
+            axis=-1,
+        )
+        return ConvBase(self.c2, self.k, self.s, act=self.act, dtype=self.dtype,
+                        axis_name=self.axis_name, name="conv")(y, train)
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest 2x upsample, NHWC. Implemented with reshape-broadcast (cheap
+    on TPU; avoids gather-based jax.image.resize)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class RepVGGBlock(nn.Module):
+    """RepVGG training-time block: 3x3 + 1x1 + (identity BN) branches
+    (reference common.py:1002-1120). Deploy-time fusion into one 3x3 conv is
+    done by `efficientteacher_tpu.utils.reparam.fuse_repvgg`.
+    """
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    act: Any = "relu"
+    use_se: bool = False
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.k == 3
+        c1 = x.shape[-1]
+        bn_kw = dict(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            axis_name=self.axis_name if train else None, dtype=self.dtype,
+        )
+        dense = nn.Conv(self.c2, (3, 3), (self.s, self.s),
+                        padding=[(1, 1), (1, 1)], feature_group_count=self.g,
+                        use_bias=False, dtype=self.dtype, name="rbr_dense_conv")(x)
+        dense = nn.BatchNorm(name="rbr_dense_bn", **bn_kw)(dense)
+        one = nn.Conv(self.c2, (1, 1), (self.s, self.s), padding="VALID",
+                      feature_group_count=self.g, use_bias=False,
+                      dtype=self.dtype, name="rbr_1x1_conv")(x)
+        one = nn.BatchNorm(name="rbr_1x1_bn", **bn_kw)(one)
+        y = dense + one
+        if c1 == self.c2 and self.s == 1:
+            ident = nn.BatchNorm(name="rbr_identity", **bn_kw)(x)
+            y = y + ident
+        return get_activation(self.act)(y)
+
+
+class RepBlock(nn.Module):
+    """Sequence of RepVGG blocks (YOLOv6 EfficientRep stage)."""
+
+    c2: int
+    n: int = 1
+    act: Any = "relu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = RepVGGBlock(self.c2, act=self.act, dtype=self.dtype,
+                        axis_name=self.axis_name, name="conv1")(x, train)
+        for i in range(self.n - 1):
+            x = RepVGGBlock(self.c2, act=self.act, dtype=self.dtype,
+                            axis_name=self.axis_name, name=f"block_{i}")(x, train)
+        return x
+
+
+class ELAN(nn.Module):
+    """YOLOv7 efficient layer aggregation block (reference common.py:1523)."""
+
+    c_mid: int
+    c2: int
+    n: int = 4
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        y1 = ConvBase(self.c_mid, 1, 1, act=self.act, name="cv1", **kw)(x, train)
+        y2 = ConvBase(self.c_mid, 1, 1, act=self.act, name="cv2", **kw)(x, train)
+        outs = [y1, y2]
+        y = y2
+        for i in range(self.n):
+            y = ConvBase(self.c_mid, 3, 1, act=self.act, name=f"cv3_{i}", **kw)(y, train)
+            if i % 2 == 1:
+                outs.append(y)
+        y = jnp.concatenate(outs[::-1], axis=-1)
+        return ConvBase(self.c2, 1, 1, act=self.act, name="cv4", **kw)(y, train)
+
+
+class ImplicitA(nn.Module):
+    """Learned additive token (YOLOv7 IDetect, reference common.py:1482)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ia = self.param(
+            "implicit",
+            lambda key, shape: 0.02 * jax.random.normal(key, shape, jnp.float32),
+            (1, 1, 1, self.channels),
+        )
+        return x + ia.astype(x.dtype)
+
+
+class ImplicitM(nn.Module):
+    """Learned multiplicative token (YOLOv7 IDetect, reference common.py:1495)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        im = self.param(
+            "implicit",
+            lambda key, shape: 1.0 + 0.02 * jax.random.normal(key, shape, jnp.float32),
+            (1, 1, 1, self.channels),
+        )
+        return x * im.astype(x.dtype)
+
+
+class SimSPPF(nn.Module):
+    """SPPF with ReLU (YOLOv6, reference common.py SimSPPF)."""
+
+    c2: int
+    k: int = 5
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return SPPF(self.c2, self.k, act="relu", dtype=self.dtype,
+                    axis_name=self.axis_name, name="sppf")(x, train)
