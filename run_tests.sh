@@ -1,0 +1,11 @@
+#!/bin/bash
+# Run the test suite on the virtual 8-device CPU platform.
+#
+# PALLAS_AXON_POOL_IPS must be cleared BEFORE the interpreter starts:
+# sitecustomize.py registers the axon TPU backend at startup (slow tunnel
+# handshake, serializes across processes) even when JAX_PLATFORMS=cpu.
+# Clearing the var makes sitecustomize skip registration entirely.
+cd "$(dirname "$0")"
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+exec python -m pytest tests/ "${@:--x -q}"
