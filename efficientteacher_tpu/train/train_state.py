@@ -1,0 +1,156 @@
+"""Training state: params + BN stats + optimizer buffers + EMA pytrees.
+
+The reference maintains EMA as deep-copied nn.Modules
+(ModelEMA utils/torch_utils.py:308-342, SemiSupModelEMA :344-379,
+CosineEMA :381-424); here EMA is just another pytree in the TrainState —
+no model copy, the teacher is the same apply_fn over the EMA pytree
+(SURVEY.md §7.1).
+
+EMA semantics parity:
+  - ModelEMA decay: d = decay * (1 - exp(-updates / 2000)) ramp
+    (torch_utils.py:322-324), updates counted per optimizer step
+  - EMA covers params AND BN statistics (the reference EMAs the full
+    state_dict, torch_utils.py:334-338)
+  - SemiSupModelEMA: constant decay (torch_utils.py:366-372)
+  - CosineEMA: per-epoch cosine-annealed decay decay_start -> decay_end
+    (torch_utils.py:404-414), updated by the SSOD trainer at epoch end
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .optim import OptimizerConfig, SGDState, init_opt_state, sgd_update
+
+
+@struct.dataclass
+class EMAState:
+    params: Any
+    batch_stats: Any
+    updates: jnp.ndarray  # int32 counter
+
+
+def init_ema(params, batch_stats) -> EMAState:
+    # jnp.array(copy=True): astype would alias f32 leaves with the live
+    # params, and aliased buffers break donation in the jitted train step
+    copy32 = lambda p: jnp.array(p, jnp.float32)
+    return EMAState(
+        params=jax.tree.map(copy32, params),
+        batch_stats=jax.tree.map(copy32, batch_stats),
+        updates=jnp.zeros((), jnp.int32),
+    )
+
+
+def ema_update(
+    ema: EMAState, params, batch_stats, decay: float, ramp: bool = True
+) -> EMAState:
+    """One EMA step. With ramp=True uses the ModelEMA warmup
+    d = decay * (1 - exp(-updates / 2000)); otherwise constant decay
+    (SemiSupModelEMA / CosineEMA semantics)."""
+    updates = ema.updates + 1
+    if ramp:
+        d = decay * (1.0 - jnp.exp(-updates.astype(jnp.float32) / 2000.0))
+    else:
+        d = jnp.asarray(decay, jnp.float32)
+    blend = lambda e, p: e * d + (1.0 - d) * p.astype(jnp.float32)
+    return EMAState(
+        params=jax.tree.map(blend, ema.params, params),
+        batch_stats=jax.tree.map(blend, ema.batch_stats, batch_stats),
+        updates=updates,
+    )
+
+
+def cosine_ema_decay(epoch: int, epochs: int, decay_start: float,
+                     decay_end: float = 0.9999) -> float:
+    """CosineEMA per-epoch decay (reference torch_utils.py:404-414)."""
+    return (
+        decay_end
+        + (decay_start - decay_end) * (1 + math.cos(math.pi * epoch / epochs)) / 2
+    )
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt: SGDState
+    ema: Optional[EMAState]
+    # gradient accumulation (reference accumulate-to-nominal-64,
+    # trainer.py:385-390): grads are summed until acc_count reaches the
+    # dynamic `accumulate`, then one optimizer step fires
+    acc_grads: Any
+    acc_count: jnp.ndarray  # int32
+    step: jnp.ndarray       # global iteration counter (ni)
+
+
+def create_train_state(params, batch_stats, oc: OptimizerConfig,
+                       with_ema: bool = True) -> TrainState:
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt=init_opt_state(params, oc),
+        ema=init_ema(params, batch_stats) if with_ema else None,
+        acc_grads=jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        ),
+        acc_count=jnp.zeros((), jnp.int32),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def apply_gradients_accumulating(
+    state: TrainState,
+    grads,
+    oc: OptimizerConfig,
+    *,
+    lr_bias,
+    lr_rest,
+    momentum,
+    accumulate,
+    ema_decay,
+    new_batch_stats,
+):
+    """Accumulate grads; fire a (mean-reduced) optimizer + EMA step every
+    `accumulate` micro-steps. All schedule inputs are traced scalars.
+    Mirrors reference update_optimizer (trainer.py:381-404)."""
+    acc_grads = jax.tree.map(
+        lambda a, g: a + g.astype(jnp.float32), state.acc_grads, grads
+    )
+    acc_count = state.acc_count + 1
+    do_step = acc_count >= accumulate
+
+    def take_step(_):
+        # reference sums losses over accumulate micro-batches (no mean), so
+        # apply the summed gradient as-is
+        new_params, new_opt = sgd_update(
+            state.params, acc_grads, state.opt, oc, lr_bias, lr_rest, momentum
+        )
+        if state.ema is not None:
+            new_ema = ema_update(
+                state.ema, new_params, new_batch_stats, ema_decay, ramp=True
+            )
+        else:
+            new_ema = None
+        zeros = jax.tree.map(jnp.zeros_like, acc_grads)
+        return new_params, new_opt, new_ema, zeros, jnp.zeros((), jnp.int32)
+
+    def keep_accumulating(_):
+        return (state.params, state.opt, state.ema, acc_grads, acc_count)
+
+    new_params, new_opt, new_ema, new_acc, new_count = jax.lax.cond(
+        do_step, take_step, keep_accumulating, operand=None
+    )
+    return state.replace(
+        params=new_params,
+        batch_stats=new_batch_stats,
+        opt=new_opt,
+        ema=new_ema,
+        acc_grads=new_acc,
+        acc_count=new_count,
+        step=state.step + 1,
+    )

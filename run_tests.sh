@@ -8,4 +8,4 @@
 cd "$(dirname "$0")"
 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
 XLA_FLAGS="--xla_force_host_platform_device_count=8" \
-exec python -m pytest tests/ "${@:--x -q}"
+exec python -m pytest "${@:-tests/ -x -q}"
