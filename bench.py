@@ -20,6 +20,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     from efficientteacher_tpu.configs import get_cfg
     from efficientteacher_tpu.losses.yolov5_loss import YoloV5LossConfig
     from efficientteacher_tpu.models import Model

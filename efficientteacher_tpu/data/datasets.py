@@ -1,0 +1,436 @@
+"""Labeled dataset: YOLO-txt format loader with caching, mosaic pipeline and
+fixed-shape padded batches.
+
+Parity with reference utils/datasets.py:
+  - path syntax: .txt list files, directories, `||` concat with `*N` repeat,
+    and `img<space>label` pair lines (datasets.py:671-706)
+  - label files: images/ -> labels/, ext -> .txt, rows `cls cx cy w h`
+    normalized (datasets.py:704-706, verify_image_label)
+  - label cache keyed by md5 of paths+sizes (get_hash datasets.py:112-117,
+    cache_labels :842-884)
+  - per-class stats cls_ratio_gt / label_num_per_image consumed by LabelMatch
+    (datasets.py:760-769)
+  - __getitem__: mosaic(+mixup) or letterbox -> random_perspective -> HSV ->
+    flips -> normalized xywh labels (datasets.py:889-1043)
+
+TPU-first deltas: batches are fixed-shape — images all letterboxed to a
+square img_size and labels padded to max_targets with a validity mask
+(replacing the variable-length cat collate, datasets.py:1163-1168); the
+loader is a thread-prefetched iterator rather than torch DataLoader workers.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import math
+import os
+import queue
+import random
+import threading
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from .augment import (
+    augment_hsv,
+    hflip_labels,
+    letterbox,
+    mixup,
+    mosaic4,
+    random_perspective,
+    vflip_labels,
+)
+
+IMG_FORMATS = {"bmp", "jpg", "jpeg", "png", "tif", "tiff", "webp"}
+CACHE_VERSION = "1.0"
+
+
+def img2label_path(img_path: str) -> str:
+    """images/xxx.jpg -> labels/xxx.txt (reference datasets.py:117-121)."""
+    sa = os.sep + "images" + os.sep
+    sb = os.sep + "labels" + os.sep
+    if sa in img_path:
+        base = sb.join(img_path.rsplit(sa, 1))
+    else:
+        base = img_path
+    return os.path.splitext(base)[0] + ".txt"
+
+
+def parse_data_path(path: str) -> List[Tuple[str, Optional[str]]]:
+    """Expand the reference's path syntax into (image, label|None) pairs.
+
+    Supports: directory, glob, .txt list file; `a||b` concatenation;
+    `entry*3` repetition; `img label` two-column lines
+    (reference datasets.py:671-706)."""
+    pairs: List[Tuple[str, Optional[str]]] = []
+    for part in str(path).split("||"):
+        part = part.strip()
+        if not part:
+            continue
+        repeat = 1
+        if "*" in part and not any(ch in part for ch in "[]?"):
+            stem, _, mult = part.rpartition("*")
+            if mult.isdigit():
+                part, repeat = stem, int(mult)
+        sub: List[Tuple[str, Optional[str]]] = []
+        p = Path(part)
+        if p.is_dir():
+            for f in sorted(glob.glob(str(p / "**" / "*.*"), recursive=True)):
+                if f.rsplit(".", 1)[-1].lower() in IMG_FORMATS:
+                    sub.append((f, None))
+        elif p.is_file() and p.suffix == ".txt":
+            parent = str(p.parent) + os.sep
+            for line in p.read_text().splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                cols = line.split()
+                img = cols[0].replace("./", parent, 1) if cols[0].startswith("./") else cols[0]
+                lbl = cols[1] if len(cols) > 1 else None
+                sub.append((img, lbl))
+        elif p.is_file():
+            sub.append((str(p), None))
+        else:
+            for f in sorted(glob.glob(part, recursive=True)):
+                if f.rsplit(".", 1)[-1].lower() in IMG_FORMATS:
+                    sub.append((f, None))
+        pairs.extend(sub * repeat)
+    if not pairs:
+        raise FileNotFoundError(f"no images found in {path!r}")
+    return pairs
+
+
+def get_hash(paths: List[str]) -> str:
+    """md5 over paths + sizes (reference datasets.py:112-117)."""
+    h = hashlib.md5("".join(paths).encode())
+    sizes = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+    h.update(str(sizes).encode())
+    return h.hexdigest()
+
+
+def verify_image_label(img_file: str, label_file: Optional[str], nc: int):
+    """Validate one image/label pair (reference verify_image_label,
+    datasets.py:1520-…). Returns (labels (N,5) float32, (w, h)) or None."""
+    try:
+        img = cv2.imread(img_file)
+        if img is None:
+            return None
+        h, w = img.shape[:2]
+        if h < 10 or w < 10:
+            return None
+        if label_file and os.path.isfile(label_file):
+            rows = []
+            for line in Path(label_file).read_text().splitlines():
+                vals = line.split()
+                if len(vals) >= 5:
+                    rows.append([float(v) for v in vals[:5]])
+            lb = np.array(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
+            if len(lb):
+                ok = (
+                    (lb[:, 0] >= 0) & (lb[:, 0] < nc)
+                    & (lb[:, 1:] >= 0).all(1) & (lb[:, 1:] <= 1).all(1)
+                )
+                lb = lb[ok]
+                _, idx = np.unique(lb, axis=0, return_index=True)
+                lb = lb[np.sort(idx)]  # dedup, keep order
+        else:
+            lb = np.zeros((0, 5), np.float32)
+        return lb, (w, h)
+    except Exception:
+        return None
+
+
+class LoadImagesAndLabels:
+    """YOLO-format dataset with mosaic/affine/HSV/flip augmentation."""
+
+    def __init__(
+        self,
+        path: str,
+        img_size: int = 640,
+        hyp: Optional[Dict] = None,
+        augment: bool = False,
+        nc: int = 80,
+        max_targets: int = 120,
+        single_cls: bool = False,
+        include_class: Optional[List[int]] = None,
+        cache_dir: Optional[str] = None,
+        seed: int = 0,
+    ):
+        self.img_size = img_size
+        self.hyp = dict(hyp or {})
+        self.augment = augment
+        self.nc = nc
+        self.max_targets = max_targets
+        self.single_cls = single_cls
+        self.mosaic = augment and self.hyp.get("mosaic", 0) > 0
+        self.rng = random.Random(seed)
+
+        pairs = parse_data_path(path)
+        self.img_files = [p[0] for p in pairs]
+        self.label_files = [
+            p[1] if p[1] else img2label_path(p[0]) for p in pairs
+        ]
+        self._load_cache(cache_dir)
+
+        # per-class statistics for LabelMatch (reference datasets.py:760-769)
+        all_cls = np.concatenate(
+            [lb[:, 0] for lb in self.labels if len(lb)] or [np.zeros(0)]
+        )
+        counts = np.bincount(all_cls.astype(int), minlength=nc).astype(np.float64)
+        total = max(counts.sum(), 1)
+        self.cls_ratio_gt = counts / total
+        self.label_num_per_image = total / max(len(self.labels), 1)
+
+    # -- label cache ---------------------------------------------------------
+    def _load_cache(self, cache_dir: Optional[str]):
+        cache_path = (
+            Path(cache_dir or Path(self.label_files[0]).parent)
+            / (Path(self.img_files[0]).parent.name + ".cache.npy")
+        )
+        h = get_hash(self.label_files + self.img_files)
+        cache = None
+        if cache_path.is_file():
+            try:
+                data = np.load(cache_path, allow_pickle=True).item()
+                if data.get("hash") == h and data.get("version") == CACHE_VERSION:
+                    cache = data
+            except Exception:
+                cache = None
+        if cache is None:
+            labels, shapes, keep = [], [], []
+            for i, (imf, lbf) in enumerate(zip(self.img_files, self.label_files)):
+                out = verify_image_label(imf, lbf, self.nc)
+                if out is None:
+                    continue
+                keep.append(i)
+                labels.append(out[0])
+                shapes.append(out[1])
+            cache = {
+                "hash": h,
+                "version": CACHE_VERSION,
+                "keep": keep,
+                "labels": labels,
+                "shapes": shapes,
+            }
+            try:
+                np.save(cache_path, cache)  # best-effort
+            except Exception:
+                pass
+        keep = cache["keep"]
+        self.img_files = [self.img_files[i] for i in keep]
+        self.label_files = [self.label_files[i] for i in keep]
+        self.labels = cache["labels"]
+        self.shapes = np.array(cache["shapes"], np.float64)  # (N, 2) w, h
+        if self.single_cls:
+            for lb in self.labels:
+                if len(lb):
+                    lb[:, 0] = 0
+
+    def __len__(self):
+        return len(self.img_files)
+
+    # -- image io ------------------------------------------------------------
+    def load_image(self, i: int):
+        """Load + resize longest side to img_size (reference datasets.py:1198)."""
+        img = cv2.imread(self.img_files[i])
+        h0, w0 = img.shape[:2]
+        r = self.img_size / max(h0, w0)
+        if r != 1:
+            img = cv2.resize(
+                img,
+                (int(w0 * r), int(h0 * r)),
+                interpolation=cv2.INTER_LINEAR if (self.augment or r > 1)
+                else cv2.INTER_AREA,
+            )
+        return img, (h0, w0), img.shape[:2]
+
+    def _labels_xyxy_pixels(self, i: int, ratio_w, ratio_h, padw, padh):
+        """Normalized xywh -> pixel xyxy in the (resized+padded) frame."""
+        lb = self.labels[i]
+        out = np.zeros((len(lb), 5), np.float32)
+        if len(lb):
+            out[:, 0] = lb[:, 0]
+            cx, cy, w, h = lb[:, 1] * ratio_w, lb[:, 2] * ratio_h, \
+                lb[:, 3] * ratio_w, lb[:, 4] * ratio_h
+            out[:, 1] = cx - w / 2 + padw
+            out[:, 2] = cy - h / 2 + padh
+            out[:, 3] = cx + w / 2 + padw
+            out[:, 4] = cy + h / 2 + padh
+        return out
+
+    # -- sample pipelines ----------------------------------------------------
+    def _load_mosaic(self, index: int):
+        s = self.img_size
+        idxs = [index] + [self.rng.randrange(len(self)) for _ in range(3)]
+        imgs, lbs = [], []
+        for i in idxs:
+            img, _, (h, w) = self.load_image(i)
+            imgs.append(img)
+            lbs.append(self._labels_xyxy_pixels(i, w, h, 0, 0))
+        canvas, merged = mosaic4(imgs, lbs, s, self.rng)
+        border = (-s // 2, -s // 2)
+        img, targets = random_perspective(
+            canvas, merged,
+            degrees=self.hyp.get("degrees", 0.0),
+            translate=self.hyp.get("translate", 0.1),
+            scale=self.hyp.get("scale", 0.5),
+            shear=self.hyp.get("shear", 0.0),
+            perspective=self.hyp.get("perspective", 0.0),
+            border=border, rng=self.rng,
+        )
+        return img, targets
+
+    def _load_plain(self, index: int):
+        img, _, (h, w) = self.load_image(index)
+        img, ratio, pad = letterbox(
+            img, self.img_size, auto=False, scaleup=self.augment
+        )
+        targets = self._labels_xyxy_pixels(
+            index, ratio[0] * w, ratio[1] * h, pad[0], pad[1]
+        )
+        if self.augment:
+            img, targets = random_perspective(
+                img, targets,
+                degrees=self.hyp.get("degrees", 0.0),
+                translate=self.hyp.get("translate", 0.1),
+                scale=self.hyp.get("scale", 0.5),
+                shear=self.hyp.get("shear", 0.0),
+                perspective=self.hyp.get("perspective", 0.0),
+                rng=self.rng,
+            )
+        return img, targets
+
+    def __getitem__(self, index: int):
+        """Returns (img_u8 RGB (S, S, 3), labels (M, 5) [cls, xywh norm],
+        mask (M,), shapes) — fixed shapes for jit."""
+        hyp = self.hyp
+        use_mosaic = self.mosaic and self.rng.random() < hyp.get("mosaic", 0)
+        if use_mosaic:
+            img, targets = self._load_mosaic(index)
+            if self.rng.random() < hyp.get("mixup", 0):
+                img2, targets2 = self._load_mosaic(self.rng.randrange(len(self)))
+                img, targets = mixup(img, targets, img2, targets2, self.rng)
+            shapes = None
+        else:
+            img, targets = self._load_plain(index)
+            h0w0 = self.shapes[index]
+            shapes = (h0w0[1], h0w0[0])  # (h0, w0)
+
+        if self.augment:
+            augment_hsv(
+                img, hyp.get("hsv_h", 0), hyp.get("hsv_s", 0),
+                hyp.get("hsv_v", 0), self.rng,
+            )
+            if self.rng.random() < hyp.get("flipud", 0):
+                img = np.flipud(img).copy()
+                targets = vflip_labels(targets, img.shape[0])
+            if self.rng.random() < hyp.get("fliplr", 0):
+                img = np.fliplr(img).copy()
+                targets = hflip_labels(targets, img.shape[1])
+
+        img = np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
+        labels, mask = self.pack_labels(targets, img.shape[1], img.shape[0])
+        return img, labels, mask, shapes
+
+    def pack_labels(self, targets_xyxy: np.ndarray, w: int, h: int):
+        """Pixel xyxy -> padded normalized (M, 5) [cls, cx, cy, bw, bh]."""
+        m = self.max_targets
+        labels = np.zeros((m, 5), np.float32)
+        mask = np.zeros((m,), bool)
+        n = min(len(targets_xyxy), m)
+        if n:
+            t = targets_xyxy[:n]
+            labels[:n, 0] = t[:, 0]
+            labels[:n, 1] = ((t[:, 1] + t[:, 3]) / 2) / w
+            labels[:n, 2] = ((t[:, 2] + t[:, 4]) / 2) / h
+            labels[:n, 3] = (t[:, 3] - t[:, 1]) / w
+            labels[:n, 4] = (t[:, 4] - t[:, 2]) / h
+            mask[:n] = True
+        return labels, mask
+
+
+class BatchLoader:
+    """Thread-prefetched epoch iterator over a dataset yielding stacked
+    fixed-shape numpy batches (replaces the reference's InfiniteDataLoader +
+    torch collate, datasets.py:296-318, 1163-1168)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True, prefetch: int = 4,
+                 workers: int = 2):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.workers = max(1, workers)
+        self.epoch = 0
+        self.seed = seed
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else math.ceil(n / self.bs)
+
+    def _indices(self):
+        idx = list(range(len(self.ds)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._indices()
+        batches = [
+            idx[i : i + self.bs] for i in range(0, len(idx), self.bs)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.bs]
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            for bidx in batches:
+                items = [self.ds[i] for i in bidx]
+                imgs = np.stack([it[0] for it in items])
+                labels = np.stack([it[1] for it in items])
+                mask = np.stack([it[2] for it in items])
+                q.put({
+                    "images": imgs, "labels": labels, "mask": mask,
+                    "shapes": [it[3] for it in items],
+                    "indices": bidx,
+                })
+            q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        self.epoch += 1
+
+
+def create_dataloader(cfg, split: str = "train", augment: Optional[bool] = None,
+                      batch_size: Optional[int] = None, seed: int = 0):
+    """Factory mirroring reference create_dataloader (datasets.py:320-363)."""
+    path = getattr(cfg.Dataset, split)
+    augment = (split == "train") if augment is None else augment
+    ds = LoadImagesAndLabels(
+        path,
+        img_size=cfg.Dataset.img_size,
+        hyp={k: cfg.hyp[k] for k in cfg.hyp},
+        augment=augment and cfg.hyp.use_aug,
+        nc=cfg.Dataset.nc,
+        max_targets=cfg.Dataset.max_targets,
+        single_cls=cfg.single_cls,
+        seed=seed,
+    )
+    return BatchLoader(
+        ds,
+        batch_size or cfg.Dataset.batch_size,
+        shuffle=augment,
+        seed=seed,
+        drop_last=augment,
+    )
