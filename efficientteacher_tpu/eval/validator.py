@@ -1,0 +1,140 @@
+"""Validation runner: forward + on-device NMS + host mAP accumulation.
+
+Parity with reference val.py:148-465 `val.run`:
+  - multi-label NMS at conf 0.001 / iou 0.6 (val.py:335)
+  - detections rescaled to native image space before matching (val.py:340-376)
+  - IoU@[.5:.95] TP matrix via process_batch
+  - returns ((P, R, mAP50, mAP), per-class maps, cls_thr) where cls_thr are
+    the per-class best-F1 thresholds the SSOD trainer consumes (val.py:462-465)
+
+TPU-first: forward+decode+NMS is one jitted fixed-shape program; only the
+compact (max_det, 6) detections travel to host. Ragged final batches are
+padded to the compiled batch size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.nms import batched_nms
+from .metrics import ap_per_class, process_batch
+
+
+def _scale_to_native(boxes: np.ndarray, letterbox_hw: Tuple[int, int],
+                     native_hw: Tuple[int, int]) -> np.ndarray:
+    """Undo letterbox: boxes xyxy in the square frame -> native pixels
+    (reference utils/general.py:702-718)."""
+    lh, lw = letterbox_hw
+    nh, nw = native_hw
+    gain = min(lh / nh, lw / nw)
+    padw = (lw - nw * gain) / 2
+    padh = (lh - nh * gain) / 2
+    out = boxes.copy()
+    out[:, [0, 2]] = (out[:, [0, 2]] - padw) / gain
+    out[:, [1, 3]] = (out[:, [1, 3]] - padh) / gain
+    out[:, [0, 2]] = out[:, [0, 2]].clip(0, nw)
+    out[:, [1, 3]] = out[:, [1, 3]].clip(0, nh)
+    return out
+
+
+def make_infer_fn(model, nc: int, conf_thres: float, iou_thres: float,
+                  max_det: int, max_nms: int, norm_scale: float,
+                  compute_dtype=jnp.bfloat16):
+    @jax.jit
+    def infer(variables, images_u8):
+        x = images_u8.astype(compute_dtype) / norm_scale
+        out = model.apply(variables, x, train=False)
+        if isinstance(out, tuple) and len(out) == 2 and not isinstance(
+            out[0], (list, tuple)
+        ):
+            decoded = out[0]
+        else:  # SSOD model returns ((decoded, raw), domain)
+            decoded = out[0][0]
+        return batched_nms(
+            decoded, nc=nc, conf_thres=conf_thres, iou_thres=iou_thres,
+            multi_label=True, max_nms=max_nms, max_det=max_det,
+        )
+
+    return infer
+
+
+def run(
+    model,
+    variables,
+    loader,
+    nc: int,
+    conf_thres: float = 0.001,
+    iou_thres: float = 0.6,
+    max_det: int = 300,
+    max_nms: int = 4096,
+    norm_scale: float = 255.0,
+    compute_dtype=jnp.bfloat16,
+    img_size: Optional[int] = None,
+):
+    """Evaluate `model(variables)` over `loader`. Returns
+    ((mp, mr, map50, map), per_class_maps, cls_thr)."""
+    iouv = np.linspace(0.5, 0.95, 10)
+    stats = []
+    infer = make_infer_fn(model, nc, conf_thres, iou_thres, max_det,
+                          max_nms, norm_scale, compute_dtype)
+    compiled_bs = None
+    for batch in loader:
+        images = batch["images"]
+        bs = images.shape[0]
+        if compiled_bs is None:
+            compiled_bs = bs
+        if bs < compiled_bs:  # pad ragged final batch to compiled shape
+            pad = compiled_bs - bs
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
+            )
+        out = infer(variables, jnp.asarray(images))
+        dets = np.asarray(out.detections)[:bs]
+        valid = np.asarray(out.valid)[:bs]
+        lh = lw = images.shape[1]
+
+        for bi in range(bs):
+            det = dets[bi][valid[bi]]
+            lab = batch["labels"][bi][batch["mask"][bi]]  # (n, 5) cls+xywhn
+            shapes = batch["shapes"][bi]
+            native_hw = shapes if shapes is not None else (lh, lw)
+            # labels: normalized xywh on the letterboxed frame -> native xyxy
+            if len(lab):
+                lxyxy = np.zeros((len(lab), 5), np.float32)
+                lxyxy[:, 0] = lab[:, 0]
+                cx, cy, w, h = lab[:, 1] * lw, lab[:, 2] * lh, \
+                    lab[:, 3] * lw, lab[:, 4] * lh
+                lxyxy[:, 1], lxyxy[:, 2] = cx - w / 2, cy - h / 2
+                lxyxy[:, 3], lxyxy[:, 4] = cx + w / 2, cy + h / 2
+                lxyxy[:, 1:] = _scale_to_native(lxyxy[:, 1:], (lh, lw), native_hw)
+            else:
+                lxyxy = np.zeros((0, 5), np.float32)
+            if len(det):
+                det = det.copy()
+                det[:, :4] = _scale_to_native(det[:, :4], (lh, lw), native_hw)
+            correct = process_batch(det, lxyxy, iouv)
+            stats.append((
+                correct,
+                det[:, 4] if len(det) else np.zeros(0),
+                det[:, 5] if len(det) else np.zeros(0),
+                lxyxy[:, 0],
+            ))
+
+    stats = [np.concatenate(x, 0) for x in zip(*stats)]
+    if len(stats) and stats[0].any():
+        p, r, ap, f1, ap_class, cls_thr = ap_per_class(*stats)
+        ap50, ap_all = ap[:, 0], ap.mean(1)
+        mp, mr, map50, map_ = p.mean(), r.mean(), ap50.mean(), ap_all.mean()
+        maps = np.zeros(nc)
+        for i, c in enumerate(ap_class):
+            maps[c] = ap_all[i]
+    else:
+        mp = mr = map50 = map_ = 0.0
+        maps = np.zeros(nc)
+        cls_thr = [conf_thres] * nc
+    return (float(mp), float(mr), float(map50), float(map_)), maps, cls_thr

@@ -1,0 +1,305 @@
+"""Supervised Trainer: lifecycle orchestration around the jitted train step.
+
+Parity with reference trainer/trainer.py:43-542:
+  - set_env: run dir via increment_path, config dump, loggers (trainer.py:253)
+  - build_model: spec from cfg, warm-start via shape-matched partial load
+    (intersect, trainer.py:132-144), EMA in TrainState
+  - build_optimizer: accumulate = 64/batch, scaled weight decay
+    (trainer.py:195-197), SGD nesterov / AdamW, one_cycle or linear LR
+  - warmup iterations nw = clamp(round(warmup_epochs*nb), 1000, half-run)
+    (trainer.py:372-376)
+  - before_epoch: close mosaic for the last no_aug_epochs (trainer.py:363-365)
+  - after_epoch: validate EMA, fitness = 0.1*mAP50+0.9*mAP, save last/best
+    (trainer.py:445-491)
+
+TPU deltas: the whole hot loop is the jitted train step (no AMP scaler, no
+DDP); data parallelism via mesh sharding when >1 device is visible.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import CfgNode
+from ..data.datasets import create_dataloader
+from ..eval import validator
+from ..eval.metrics import MetricMeter, fitness
+from ..losses.yolov5_loss import YoloV5LossConfig
+from ..models import build_model
+from ..models.spec import spec_from_cfg
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..utils.callbacks import Callbacks
+from ..utils.checkpoint import (
+    intersect_trees,
+    load_checkpoint,
+    save_checkpoint,
+)
+from ..utils.general import check_img_size, increment_path
+from .optim import OptimizerConfig
+from .supervised import Schedule, make_supervised_train_step
+from .train_state import create_train_state
+
+LOGGER = logging.getLogger(__name__)
+
+RESULTS_KEYS = [
+    "epoch", "train/box_loss", "train/obj_loss", "train/cls_loss",
+    "metrics/precision", "metrics/recall", "metrics/mAP_0.5",
+    "metrics/mAP_0.5:0.95", "val/fitness", "lr",
+]
+
+
+class Trainer:
+    def __init__(self, cfg: CfgNode, callbacks: Optional[Callbacks] = None,
+                 compute_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.callbacks = callbacks or Callbacks()
+        self.compute_dtype = compute_dtype
+        self.epoch = 0
+        self.start_epoch = 0
+        self.best_fitness = 0.0
+        self.set_env(cfg)
+        self.build_model(cfg)
+        self.build_optimizer(cfg)
+        self.build_dataloader(cfg)
+        self.build_loss(cfg)
+        self.build_step()
+
+    # -- lifecycle ----------------------------------------------------------
+    def set_env(self, cfg):
+        self.epochs = cfg.epochs
+        self.batch_size = cfg.Dataset.batch_size
+        self.save_dir = increment_path(
+            Path(cfg.project or "runs/train") / (cfg.name or "exp"),
+            exist_ok=cfg.exist_ok, mkdir=True,
+        )
+        (self.save_dir / "weights").mkdir(parents=True, exist_ok=True)
+        (self.save_dir / "opt.yaml").write_text(cfg.dump())
+        self.img_size = check_img_size(cfg.Dataset.img_size, 32)
+        self.noval = cfg.noval
+        self.nosave = cfg.nosave
+        self.save_period = cfg.save_period
+        self.results_csv = self.save_dir / "results.csv"
+        self.n_devices = len(jax.devices())
+        self.mesh = make_mesh(self.n_devices) if self.n_devices > 1 else None
+
+    def build_model(self, cfg):
+        self.spec = spec_from_cfg(cfg)
+        self.model = build_model(self.spec, ssod=False, dtype=self.compute_dtype)
+        x0 = jnp.zeros((1, self.img_size, self.img_size, self.spec.ch),
+                       self.compute_dtype)
+        variables = self.model.init(jax.random.PRNGKey(0), x0, train=False)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        if cfg.weights:
+            params, batch_stats = self._warm_start(
+                cfg.weights, params, batch_stats
+            )
+        self._init_params = params
+        self._init_bs = batch_stats
+        s = np.asarray(self.spec.strides, np.float32)[:, None, None]
+        self.anchors_grid = (
+            np.asarray(self.spec.anchors, np.float32)
+            .reshape(self.spec.nl, -1, 2) / s
+        )
+
+    def _warm_start(self, weights: str, params, batch_stats):
+        """Shape-matched partial load from our ckpt or a torch .pt."""
+        if weights.endswith(".pt"):
+            from ..utils.torch_import import load_torch_weights
+
+            src = load_torch_weights(weights, self.spec)
+            src_params, src_bs = src["params"], src["batch_stats"]
+        else:
+            ckpt = load_checkpoint(weights)
+            ent = ckpt.get("ema") or ckpt["model"]
+            src_params, src_bs = ent["params"], ent["batch_stats"]
+        params, c1, t1 = intersect_trees(src_params, params)
+        batch_stats, c2, t2 = intersect_trees(src_bs, batch_stats)
+        LOGGER.info(
+            "warm start: %d/%d params, %d/%d stats from %s",
+            c1, t1, c2, t2, weights,
+        )
+        return params, batch_stats
+
+    def build_optimizer(self, cfg):
+        nbs = 64
+        self.accumulate = max(round(nbs / self.batch_size), 1)
+        scaled_wd = (
+            cfg.hyp.weight_decay * self.batch_size * self.accumulate / nbs
+        )
+        self.opt_cfg = OptimizerConfig.from_cfg(cfg, scaled_wd)
+        self.state = create_train_state(
+            self._init_params, self._init_bs, self.opt_cfg, with_ema=True
+        )
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+        del self._init_params, self._init_bs
+        if cfg.resume and cfg.weights and not cfg.weights.endswith(".pt"):
+            self._resume(cfg.weights)
+
+    def _resume(self, weights):
+        ckpt = load_checkpoint(weights)
+        meta = ckpt.get("meta", {})
+        self.start_epoch = self.epoch = meta.get("epoch", -1) + 1
+        self.best_fitness = meta.get("best_fitness", 0.0)
+        LOGGER.info("resumed at epoch %d", self.start_epoch)
+
+    def build_dataloader(self, cfg):
+        self.train_loader = create_dataloader(cfg, "train",
+                                              batch_size=self.batch_size)
+        self.dataset = self.train_loader.ds
+        self.nb = len(self.train_loader)
+        self.val_loader = (
+            create_dataloader(cfg, "val", augment=False,
+                              batch_size=self.batch_size)
+            if cfg.Dataset.val else None
+        )
+
+    def build_loss(self, cfg):
+        loss_type = cfg.Loss.type
+        if loss_type in ("ComputeLoss",):
+            self.loss_cfg = YoloV5LossConfig.from_cfg(cfg, nl=self.spec.nl)
+        else:
+            raise NotImplementedError(
+                f"Loss.type {loss_type!r} not wired into the trainer yet"
+            )
+
+    def build_step(self):
+        self.train_step = make_supervised_train_step(
+            self.model, self.loss_cfg, self.anchors_grid, self.opt_cfg,
+            norm_scale=float(self.cfg.Dataset.norm_scale),
+            compute_dtype=self.compute_dtype,
+        )
+
+    # -- schedule -----------------------------------------------------------
+    def _warmup_iters(self) -> int:
+        if self.cfg.hyp.warmup_epochs > 0:
+            nw = max(round(self.cfg.hyp.warmup_epochs * self.nb), 1000)
+            return int(min(nw, (self.epochs - self.start_epoch) / 2 * self.nb))
+        return -1
+
+    def _schedule(self, ni: int) -> Schedule:
+        s = self.opt_cfg.schedule(ni, self.epoch, self._warmup_iters())
+        if self._warmup_iters() > 0 and ni <= self._warmup_iters():
+            accumulate = max(
+                1, round(np.interp(ni, [0, self._warmup_iters()],
+                                   [1, 64 / self.batch_size]))
+            )
+        else:
+            accumulate = self.accumulate
+        return Schedule.make(
+            s["lr_bias"], s["lr_rest"], s["momentum"], accumulate,
+            ema_decay=0.9999,
+        )
+
+    # -- loop ---------------------------------------------------------------
+    def before_epoch(self):
+        if self.epoch == self.epochs - self.cfg.hyp.no_aug_epochs:
+            LOGGER.info("closing mosaic augmentation")
+            self.dataset.mosaic = False
+        self.meter = MetricMeter()
+
+    def train_in_epoch(self):
+        for i, batch in enumerate(self.train_loader):
+            ni = i + self.nb * self.epoch
+            sched = self._schedule(ni)
+            images = jnp.asarray(batch["images"])
+            labels = jnp.asarray(batch["labels"])
+            mask = jnp.asarray(batch["mask"])
+            if self.mesh is not None:
+                images, labels, mask = shard_batch(
+                    self.mesh, (images, labels, mask)
+                )
+            self.state, parts = self.train_step(
+                self.state, images, labels, mask, sched
+            )
+            if i % 50 == 0:
+                self.meter.update(
+                    {k: float(v) for k, v in parts.items() if k != "loss"}
+                )
+                LOGGER.info("epoch %d it %d/%d %s", self.epoch, i, self.nb,
+                            self.meter)
+            self.callbacks.run("on_train_batch_end")
+
+    def after_epoch(self):
+        results = (0.0, 0.0, 0.0, 0.0)
+        if self.val_loader is not None and not self.noval:
+            variables = {
+                "params": self.state.ema.params,
+                "batch_stats": self.state.ema.batch_stats,
+            }
+            results, maps, cls_thr = validator.run(
+                self.model, variables, self.val_loader,
+                nc=self.spec.nc,
+                conf_thres=float(self.cfg.val_conf_thres),
+                compute_dtype=self.compute_dtype,
+            )
+            LOGGER.info(
+                "epoch %d val P=%.4f R=%.4f mAP50=%.4f mAP=%.4f",
+                self.epoch, *results,
+            )
+        fi = float(fitness(np.array([list(results)])))
+        if fi > self.best_fitness:
+            self.best_fitness = fi
+        self._write_results_row(results, fi)
+        if not self.nosave:
+            self._save_ckpt("last.ckpt", fi)
+            if fi == self.best_fitness:
+                self._save_ckpt("best.ckpt", fi)
+            if self.save_period > 0 and self.epoch % self.save_period == 0:
+                self._save_ckpt(f"epoch{self.epoch}.ckpt", fi)
+        self.callbacks.run("on_fit_epoch_end")
+
+    def _write_results_row(self, results, fi):
+        new = not self.results_csv.exists()
+        with open(self.results_csv, "a", newline="") as f:
+            w = csv.writer(f)
+            if new:
+                w.writerow(RESULTS_KEYS)
+            m = self.meter.meters
+            w.writerow([
+                self.epoch,
+                m.get("box", None) and m["box"].avg or 0.0,
+                m.get("obj", None) and m["obj"].avg or 0.0,
+                m.get("cls", None) and m["cls"].avg or 0.0,
+                *results, fi,
+                self.opt_cfg.lr0 * self.opt_cfg.lf(self.epoch),
+            ])
+
+    def _save_ckpt(self, name: str, fi: float):
+        st = jax.device_get(self.state)
+        save_checkpoint(
+            self.save_dir / "weights" / name,
+            params=st.params,
+            batch_stats=st.batch_stats,
+            ema_params=st.ema.params if st.ema else None,
+            ema_batch_stats=st.ema.batch_stats if st.ema else None,
+            ema_updates=int(st.ema.updates) if st.ema else 0,
+            epoch=self.epoch,
+            best_fitness=self.best_fitness,
+            cfg_yaml=self.cfg.dump(),
+        )
+        self.callbacks.run("on_model_save")
+
+    def train(self):
+        self.callbacks.run("on_train_start")
+        t0 = time.time()
+        for self.epoch in range(self.start_epoch, self.epochs):
+            self.callbacks.run("on_train_epoch_start")
+            self.before_epoch()
+            self.train_in_epoch()
+            self.after_epoch()
+        LOGGER.info(
+            "%d epochs in %.1f h, best fitness %.4f",
+            self.epochs - self.start_epoch, (time.time() - t0) / 3600,
+            self.best_fitness,
+        )
+        self.callbacks.run("on_train_end")
+        return self.best_fitness
