@@ -1,0 +1,116 @@
+"""Inference CLI (parity: reference detect.py:34-...).
+
+Usage:
+    python detect.py --cfg <yaml> --weights best.ckpt --source img_or_dir \
+        [--conf-thres 0.25 --iou-thres 0.45 --save-dir runs/detect]
+
+Loads images/dirs/txt lists, letterboxes, runs the jitted forward+NMS, and
+writes annotated images plus optional YOLO-format .txt label files.
+"""
+
+import argparse
+import logging
+from pathlib import Path
+
+
+def parse_opt():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", type=str, required=True)
+    parser.add_argument("--weights", type=str, required=True)
+    parser.add_argument("--source", type=str, required=True)
+    parser.add_argument("--img-size", type=int, default=640)
+    parser.add_argument("--conf-thres", type=float, default=0.25)
+    parser.add_argument("--iou-thres", type=float, default=0.45)
+    parser.add_argument("--max-det", type=int, default=300)
+    parser.add_argument("--save-dir", type=str, default="runs/detect")
+    parser.add_argument("--save-txt", action="store_true")
+    parser.add_argument("--nosave", action="store_true")
+    parser.add_argument("opts", nargs=argparse.REMAINDER)
+    return parser.parse_args()
+
+
+def main(opt):
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficientteacher_tpu.configs import get_cfg
+    from efficientteacher_tpu.data.augment import letterbox
+    from efficientteacher_tpu.data.datasets import parse_data_path
+    from efficientteacher_tpu.eval.validator import _scale_to_native
+    from efficientteacher_tpu.models import build_model
+    from efficientteacher_tpu.models.spec import spec_from_cfg
+    from efficientteacher_tpu.ops import batched_nms
+    from efficientteacher_tpu.utils.checkpoint import load_eval_variables
+    from efficientteacher_tpu.utils.general import increment_path
+
+    cfg = get_cfg()
+    cfg.merge_from_file(opt.cfg)
+    if opt.opts:
+        cfg.merge_from_list(opt.opts)
+    cfg.freeze()
+
+    spec = spec_from_cfg(cfg)
+    model = build_model(spec, ssod=False, dtype=jnp.bfloat16)
+    if opt.weights.endswith(".pt"):
+        from efficientteacher_tpu.utils.torch_import import load_torch_weights
+
+        variables = load_torch_weights(opt.weights, spec)
+        variables = {
+            k: jax.tree.map(jnp.asarray, v) for k, v in variables.items()
+        }
+    else:
+        variables = load_eval_variables(opt.weights)
+
+    names = list(cfg.Dataset.names) or [str(i) for i in range(spec.nc)]
+    save_dir = increment_path(Path(opt.save_dir) / "exp", mkdir=True)
+
+    @jax.jit
+    def infer(v, x):
+        decoded, _ = model.apply(v, x.astype(jnp.bfloat16) / 255.0,
+                                 train=False)
+        return batched_nms(
+            decoded, nc=spec.nc, conf_thres=opt.conf_thres,
+            iou_thres=opt.iou_thres, max_det=opt.max_det, max_nms=2048,
+        )
+
+    for img_path, _ in parse_data_path(opt.source):
+        img0 = cv2.imread(img_path)
+        img, _, _ = letterbox(img0, opt.img_size, auto=False)
+        x = jnp.asarray(img[:, :, ::-1].copy())[None]
+        out = infer(variables, x)
+        det = np.asarray(out.detections)[0][np.asarray(out.valid)[0]]
+        if len(det):
+            det[:, :4] = _scale_to_native(
+                det[:, :4], (opt.img_size, opt.img_size), img0.shape[:2]
+            )
+        print(f"{img_path}: {len(det)} detections")
+        if opt.save_txt:
+            lines = []
+            h0, w0 = img0.shape[:2]
+            for *xyxy, conf, cls in det:
+                cx = (xyxy[0] + xyxy[2]) / 2 / w0
+                cy = (xyxy[1] + xyxy[3]) / 2 / h0
+                bw = (xyxy[2] - xyxy[0]) / w0
+                bh = (xyxy[3] - xyxy[1]) / h0
+                lines.append(f"{int(cls)} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f} {conf:.4f}")
+            (save_dir / (Path(img_path).stem + ".txt")).write_text(
+                "\n".join(lines)
+            )
+        if not opt.nosave:
+            for *xyxy, conf, cls in det:
+                c = int(cls)
+                color = (37 * c % 255, 17 * c % 255, 29 * c % 255)
+                cv2.rectangle(img0, (int(xyxy[0]), int(xyxy[1])),
+                              (int(xyxy[2]), int(xyxy[3])), color, 2)
+                label = f"{names[c] if c < len(names) else c} {conf:.2f}"
+                cv2.putText(img0, label, (int(xyxy[0]), int(xyxy[1]) - 4),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
+            cv2.imwrite(str(save_dir / Path(img_path).name), img0)
+    print(f"results saved to {save_dir}")
+
+
+if __name__ == "__main__":
+    main(parse_opt())

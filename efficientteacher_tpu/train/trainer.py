@@ -245,7 +245,7 @@ class Trainer:
                 "epoch %d val P=%.4f R=%.4f mAP50=%.4f mAP=%.4f",
                 self.epoch, *results,
             )
-        fi = float(fitness(np.array([list(results)])))
+        fi = float(fitness(np.array([list(results)]))[0])
         if fi > self.best_fitness:
             self.best_fitness = fi
         self._write_results_row(results, fi)

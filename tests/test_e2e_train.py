@@ -1,0 +1,76 @@
+"""End-to-end supervised training smoke on a synthetic disk dataset through
+the full Trainer lifecycle (the COCO128-smoke analogue, BASELINE config 2)."""
+
+import numpy as np
+import cv2
+import pytest
+
+from efficientteacher_tpu.configs import get_cfg
+from efficientteacher_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(16):
+        img = np.full((160, 160, 3), 70, np.uint8)
+        cx, cy = rng.uniform(0.35, 0.65, 2)
+        bw, bh = rng.uniform(0.25, 0.45, 2)
+        x1, y1 = int((cx - bw / 2) * 160), int((cy - bh / 2) * 160)
+        x2, y2 = int((cx + bw / 2) * 160), int((cy + bh / 2) * 160)
+        cv2.rectangle(img, (x1, y1), (x2, y2), (0, 0, 255), -1)
+        p = root / "images" / f"i{i:02d}.jpg"
+        cv2.imwrite(str(p), img)
+        (root / "labels" / f"i{i:02d}.txt").write_text(
+            f"0 {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}\n"
+        )
+        paths.append(str(p))
+    (root / "train.txt").write_text("\n".join(paths))
+    return root
+
+
+def test_trainer_e2e(synth_root, tmp_path):
+    import jax.numpy as jnp
+
+    cfg = get_cfg()
+    cfg.Model.Backbone.name = "YoloV5"
+    cfg.Model.Neck.name = "YoloV5"
+    cfg.Model.Head.name = "YoloV5"
+    cfg.Model.Neck.in_channels = [256, 512, 1024]
+    cfg.Model.Neck.out_channels = [256, 512, 1024]
+    cfg.Model.width_multiple = 0.125
+    cfg.Model.depth_multiple = 0.34
+    cfg.Loss.type = "ComputeLoss"
+    cfg.Dataset.train = str(synth_root / "train.txt")
+    cfg.Dataset.val = str(synth_root / "train.txt")
+    cfg.Dataset.nc = 1
+    cfg.Dataset.img_size = 128
+    cfg.Dataset.batch_size = 8
+    cfg.Dataset.max_targets = 16
+    cfg.epochs = 2
+    cfg.hyp.warmup_epochs = 0
+    cfg.hyp.mosaic = 0.5
+    cfg.project = str(tmp_path / "runs")
+    cfg.name = "smoke"
+    cfg.freeze()
+
+    trainer = Trainer(cfg, compute_dtype=jnp.float32)
+    trainer.train()
+
+    # artifacts
+    assert (trainer.save_dir / "weights" / "last.ckpt").exists()
+    assert (trainer.save_dir / "weights" / "best.ckpt").exists()
+    assert (trainer.save_dir / "results.csv").exists()
+    assert (trainer.save_dir / "opt.yaml").exists()
+    rows = (trainer.save_dir / "results.csv").read_text().strip().splitlines()
+    assert len(rows) == 3  # header + 2 epochs
+
+    # checkpoint round-trips into eval variables
+    from efficientteacher_tpu.utils.checkpoint import load_eval_variables
+
+    variables = load_eval_variables(trainer.save_dir / "weights" / "best.ckpt")
+    assert "params" in variables and "batch_stats" in variables

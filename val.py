@@ -1,0 +1,65 @@
+"""Standalone validation CLI (parity: reference val.py:468-512).
+
+Usage:
+    python val.py --cfg <yaml> --weights runs/train/exp/weights/best.ckpt
+"""
+
+import argparse
+import logging
+
+
+def parse_opt():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", type=str, required=True)
+    parser.add_argument("--weights", type=str, required=True)
+    parser.add_argument("--conf-thres", type=float, default=0.001)
+    parser.add_argument("--iou-thres", type=float, default=0.6)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("opts", nargs=argparse.REMAINDER)
+    return parser.parse_args()
+
+
+def main(opt):
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    import jax.numpy as jnp
+
+    from efficientteacher_tpu.configs import get_cfg
+    from efficientteacher_tpu.data.datasets import create_dataloader
+    from efficientteacher_tpu.eval import validator
+    from efficientteacher_tpu.models import build_model
+    from efficientteacher_tpu.models.spec import spec_from_cfg
+    from efficientteacher_tpu.utils.checkpoint import load_eval_variables
+
+    cfg = get_cfg()
+    cfg.merge_from_file(opt.cfg)
+    if opt.opts:
+        cfg.merge_from_list(opt.opts)
+    cfg.freeze()
+
+    spec = spec_from_cfg(cfg)
+    model = build_model(spec, ssod=False, dtype=jnp.bfloat16)
+    if opt.weights.endswith(".pt"):
+        import jax
+
+        from efficientteacher_tpu.utils.torch_import import load_torch_weights
+
+        variables = load_torch_weights(opt.weights, spec)
+        variables = {
+            k: jax.tree.map(jnp.asarray, v) for k, v in variables.items()
+        }
+    else:
+        variables = load_eval_variables(opt.weights)
+    loader = create_dataloader(cfg, "val", augment=False,
+                               batch_size=opt.batch_size)
+    results, maps, cls_thr = validator.run(
+        model, variables, loader, nc=spec.nc,
+        conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
+    )
+    print(
+        "P=%.4f R=%.4f mAP50=%.4f mAP50-95=%.4f" % results
+    )
+    return results
+
+
+if __name__ == "__main__":
+    main(parse_opt())
