@@ -1,0 +1,277 @@
+"""SSOD Trainer: mean-teacher lifecycle around the jitted SSOD step.
+
+Parity with reference trainer/ssod_trainer.py:53-714:
+  - env: burn_epochs, epoch_adaptor, cosine_ema, teacher_loss_weight
+    (:76-84)
+  - model: SSOD detector + semi_ema teacher chain (:96-203)
+  - dataloaders: labeled + create_target_dataloader (:205-255)
+  - epoch dispatch (:295-317): epoch < burn_epochs -> supervised burn-in
+    (optionally with DA losses); at burn_epochs the EMA is copied into the
+    student and the teacher is seeded (:305-316); afterwards mean-teacher
+  - epoch_adaptor (:685-697): the UNLABELED loader drives the epoch; labeled
+    batches come from an infinite iterator
+  - after_epoch (:319-419): LabelMatch threshold refresh, cosine EMA decay,
+    validation of the (semi-)EMA teacher, teacher saved as the ckpt `ema`
+  - pseudo-label quality meters (:655-680)
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets_ssod import create_target_dataloader
+from ..eval import validator
+from ..eval.metrics import fitness
+from ..losses.ssod_loss import SSODLossConfig
+from ..models import build_model
+from ..ssod.labelmatch import LabelMatch
+from ..ssod.quality import check_pseudo_label_with_gt
+from ..utils.checkpoint import save_checkpoint
+from .ssod_step import (
+    create_ssod_train_state,
+    make_burn_in_train_step,
+    make_ssod_train_step,
+    seed_teacher_from_ema,
+)
+from .supervised import Schedule
+from .train_state import cosine_ema_decay
+from .trainer import Trainer
+
+LOGGER = logging.getLogger(__name__)
+
+
+class SSODTrainer(Trainer):
+    def set_env(self, cfg):
+        super().set_env(cfg)
+        self.burn_epochs = int(cfg.hyp.burn_epochs)
+        self.epoch_adaptor = bool(cfg.SSOD.epoch_adaptor)
+        self.cosine_ema = bool(cfg.SSOD.cosine_ema)
+        self.ema_rate = float(cfg.SSOD.ema_rate)
+        self.teacher_loss_weight = float(cfg.SSOD.teacher_loss_weight)
+        self.with_da_loss = bool(cfg.SSOD.with_da_loss)
+        self.da_loss_weights = float(cfg.SSOD.da_loss_weights)
+        self.dynamic_thres_epoch = int(cfg.SSOD.dynamic_thres_epoch)
+        self.teacher_seeded = False
+
+    def build_model(self, cfg):
+        super().build_model(cfg)
+        # rebuild as the SSOD detector (with domain discriminators)
+        self.model = build_model(self.spec, ssod=True,
+                                 dtype=self.compute_dtype)
+        x0 = jnp.zeros((1, self.img_size, self.img_size, self.spec.ch),
+                       self.compute_dtype)
+        variables = self.model.init(jax.random.PRNGKey(0), x0, train=False)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        if cfg.weights:
+            params, batch_stats = self._warm_start(cfg.weights, params,
+                                                   batch_stats)
+        self._init_params, self._init_bs = params, batch_stats
+
+    def build_optimizer(self, cfg):
+        nbs = 64
+        self.accumulate = max(round(nbs / self.batch_size), 1)
+        if cfg.SSOD.fixed_accumulate:
+            self.accumulate = 1
+        scaled_wd = (
+            cfg.hyp.weight_decay * self.batch_size * self.accumulate / nbs
+        )
+        from .optim import OptimizerConfig
+
+        self.opt_cfg = OptimizerConfig.from_cfg(cfg, scaled_wd)
+        self.state = create_ssod_train_state(
+            self._init_params, self._init_bs, self.opt_cfg
+        )
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self.state = replicate(self.mesh, self.state)
+        del self._init_params, self._init_bs
+
+    def build_dataloader(self, cfg):
+        super().build_dataloader(cfg)
+        self.target_loader = create_target_dataloader(
+            cfg, batch_size=self.batch_size
+        )
+        self.target_with_gt = bool(cfg.SSOD.ssod_hyp.with_gt or cfg.SSOD.debug)
+        self.label_match = LabelMatch(
+            cfg,
+            target_data_len=len(self.target_loader.ds),
+            label_num_per_img=self.dataset.label_num_per_image,
+            cls_ratio_gt=self.dataset.cls_ratio_gt,
+        )
+
+    def build_loss(self, cfg):
+        super().build_loss(cfg)
+        self.ssod_loss_cfg = SSODLossConfig.from_cfg(cfg, nl=self.spec.nl)
+
+    def build_step(self):
+        cfg = self.cfg
+        self.burn_step = make_burn_in_train_step(
+            self.model, self.loss_cfg, self.anchors_grid, self.opt_cfg,
+            with_da_loss=self.with_da_loss,
+            da_loss_weight=self.da_loss_weights,
+            norm_scale=float(cfg.Dataset.norm_scale),
+            compute_dtype=self.compute_dtype,
+        )
+        self.ssod_step = make_ssod_train_step(
+            self.model, self.loss_cfg, self.ssod_loss_cfg, self.anchors_grid,
+            self.opt_cfg, self.spec,
+            nms_conf_thres=float(cfg.SSOD.nms_conf_thres),
+            nms_iou_thres=float(cfg.SSOD.nms_iou_thres),
+            max_pl=int(cfg.SSOD.max_pseudo_labels),
+            multi_label=bool(cfg.SSOD.multi_label),
+            teacher_loss_weight=self.teacher_loss_weight,
+            da_loss_weight=self.da_loss_weights,
+            with_da_loss=self.with_da_loss,
+            norm_scale=float(cfg.Dataset.norm_scale),
+            compute_dtype=self.compute_dtype,
+        )
+
+    # -- epoch logic --------------------------------------------------------
+    def _semi_decay(self) -> float:
+        if self.cosine_ema:
+            return cosine_ema_decay(
+                max(self.epoch - self.burn_epochs, 0),
+                max(self.epochs - self.burn_epochs, 1),
+                decay_start=self.ema_rate,
+            )
+        return self.ema_rate
+
+    def train_in_epoch(self):
+        if self.epoch == self.burn_epochs and not self.teacher_seeded:
+            LOGGER.info("burn-in complete: seeding teacher from EMA")
+            self.state = seed_teacher_from_ema(self.state)
+            self.teacher_seeded = True
+        if self.epoch < self.burn_epochs:
+            self._train_burn_in()
+        else:
+            self._train_with_unlabeled()
+
+    def _train_burn_in(self):
+        target_iter = iter(itertools.cycle(self.target_loader)) \
+            if self.with_da_loss else None
+        for i, batch in enumerate(self.train_loader):
+            ni = i + self.nb * self.epoch
+            sched = self._schedule(ni)
+            t_imgs = (
+                jnp.asarray(next(target_iter)["images_ori"])
+                if target_iter else
+                jnp.zeros((0,) + batch["images"].shape[1:], jnp.uint8)
+            )
+            self.state, parts = self.burn_step(
+                self.state, jnp.asarray(batch["images"]),
+                jnp.asarray(batch["labels"]), jnp.asarray(batch["mask"]),
+                t_imgs, sched, jnp.float32(self._semi_decay()),
+            )
+            if i % 50 == 0:
+                self.meter.update({k: float(v) for k, v in parts.items()
+                                   if k != "loss"})
+                LOGGER.info("burn epoch %d it %d/%d %s", self.epoch, i,
+                            self.nb, self.meter)
+
+    def _train_with_unlabeled(self):
+        thr_high = jnp.asarray(self.label_match.cls_thr_high)
+        thr_low = jnp.asarray(self.label_match.cls_thr_low)
+        semi_decay = jnp.float32(self._semi_decay())
+        if self.epoch_adaptor:
+            # unlabeled loader drives; labeled pulled from an infinite iter
+            driver = self.target_loader
+            labeled_iter = iter(itertools.cycle(self.train_loader))
+            n_iter = len(driver)
+        else:
+            driver = self.target_loader
+            labeled_iter = iter(itertools.cycle(self.train_loader))
+            n_iter = min(len(driver), self.nb)
+        for i, tbatch in enumerate(driver):
+            if i >= n_iter:
+                break
+            sbatch = next(labeled_iter)
+            ni = i + n_iter * self.epoch
+            sched = self._schedule(ni)
+            self.state, out = self.ssod_step(
+                self.state,
+                jnp.asarray(sbatch["images"]),
+                jnp.asarray(sbatch["labels"]),
+                jnp.asarray(sbatch["mask"]),
+                jnp.asarray(tbatch["images"]),
+                jnp.asarray(tbatch["images_ori"]),
+                jnp.asarray(tbatch["M_s"]),
+                thr_high, thr_low, sched, semi_decay,
+            )
+            pl_np = np.asarray(out.pseudo_labels)
+            mask_np = np.asarray(out.pseudo_mask)
+            self.label_match.collect(
+                np.where(mask_np, pl_np[..., 5], 0.0), pl_np[..., 0]
+            )
+            if i % 50 == 0:
+                metrics = {k: float(v) for k, v in out.metrics.items()
+                           if k not in ("loss", "total")}
+                if self.target_with_gt:
+                    metrics.update(check_pseudo_label_with_gt(
+                        pl_np, mask_np, tbatch["labels"], tbatch["mask"],
+                    ))
+                else:
+                    metrics["pse_num"] = float(out.pseudo_count)
+                self.meter.update(metrics)
+                LOGGER.info("ssod epoch %d it %d/%d %s", self.epoch, i,
+                            n_iter, self.meter)
+
+    def after_epoch(self):
+        if self.epoch >= self.burn_epochs and self.dynamic_thres_epoch >= 0 \
+                and self.epoch >= self.dynamic_thres_epoch:
+            self.label_match.update_epoch_cls_thr(
+                max(self.epoch - self.burn_epochs, 0)
+            )
+            LOGGER.info(
+                "labelmatch thr_high[:5]=%s thr_low[:5]=%s",
+                np.round(self.label_match.cls_thr_high[:5], 3),
+                np.round(self.label_match.cls_thr_low[:5], 3),
+            )
+        # validate the teacher (semi_ema after burn-in, else EMA)
+        results = (0.0, 0.0, 0.0, 0.0)
+        if self.val_loader is not None and not self.noval:
+            ema_src = (
+                self.state.semi_ema
+                if self.teacher_seeded else self.state.ema
+            )
+            variables = {
+                "params": ema_src.params,
+                "batch_stats": ema_src.batch_stats,
+            }
+            results, maps, cls_thr = validator.run(
+                self.model, variables, self.val_loader, nc=self.spec.nc,
+                conf_thres=float(self.cfg.val_conf_thres),
+                compute_dtype=self.compute_dtype,
+            )
+            LOGGER.info("epoch %d teacher val P=%.4f R=%.4f mAP50=%.4f "
+                        "mAP=%.4f", self.epoch, *results)
+        fi = float(fitness(np.array([list(results)]))[0])
+        if fi > self.best_fitness:
+            self.best_fitness = fi
+        self._write_results_row(results, fi)
+        if not self.nosave:
+            self._save_ckpt("last.ckpt", fi)
+            if fi == self.best_fitness:
+                self._save_ckpt("best.ckpt", fi)
+
+    def _save_ckpt(self, name: str, fi: float):
+        """Saves the teacher (semi_ema) as the ckpt `ema` entry after burn-in
+        (reference ssod_trainer.py:393-409)."""
+        st = jax.device_get(self.state)
+        ema_src = st.semi_ema if self.teacher_seeded else st.ema
+        save_checkpoint(
+            self.save_dir / "weights" / name,
+            params=st.params,
+            batch_stats=st.batch_stats,
+            ema_params=ema_src.params,
+            ema_batch_stats=ema_src.batch_stats,
+            ema_updates=int(ema_src.updates),
+            epoch=self.epoch,
+            best_fitness=self.best_fitness,
+            cfg_yaml=self.cfg.dump(),
+        )

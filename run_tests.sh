@@ -6,6 +6,9 @@
 # handshake, serializes across processes) even when JAX_PLATFORMS=cpu.
 # Clearing the var makes sitecustomize skip registration entirely.
 cd "$(dirname "$0")"
+if [ $# -eq 0 ]; then
+    set -- tests/ -x -q
+fi
 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
 XLA_FLAGS="--xla_force_host_platform_device_count=8" \
-exec python -m pytest "${@:-tests/ -x -q}"
+exec python -m pytest "$@"
