@@ -5,9 +5,15 @@
 TAL heads under SSOD -> 'tal')."""
 
 from .yolov5 import YoloV5Detect
+from .yolov6 import YoloV6Detect
+from .yolov8 import YoloV8Detect
+from .yolox import YoloXDetect
 
 _REGISTRY = {
     "YoloV5": YoloV5Detect,
+    "YoloV6": YoloV6Detect,
+    "YoloV8": YoloV8Detect,
+    "YoloX": YoloXDetect,
 }
 
 _MODEL_TYPE = {

@@ -54,6 +54,18 @@ class ModelSpec:
         return len(self.anchors[0]) // 2
 
 
+def _normalize_anchors(anchors, strides):
+    """Anchor-free configs write `anchors: [1]` or `anchors: 1`
+    (e.g. reference configs/sup/public/yolox_coco.yaml:30); normalize to a
+    one-anchor-per-scale placeholder so spec.nl/na stay meaningful."""
+    if isinstance(anchors, (int, float)):
+        anchors = [anchors]
+    rows = list(anchors)
+    if rows and not isinstance(rows[0], (list, tuple)):
+        return tuple((float(s), float(s)) for s in strides)
+    return tuple(tuple(float(v) for v in row) for row in rows)
+
+
 def spec_from_cfg(cfg) -> ModelSpec:
     m = cfg.Model
     return ModelSpec(
@@ -67,7 +79,7 @@ def spec_from_cfg(cfg) -> ModelSpec:
         ch=int(m.ch),
         img_size=int(cfg.Dataset.img_size),
         strides=tuple(float(s) for s in m.Head.strides),
-        anchors=tuple(tuple(float(v) for v in row) for row in m.anchors),
+        anchors=_normalize_anchors(m.anchors, m.Head.strides),
         backbone_act=m.Backbone.activation,
         neck_act=m.Neck.activation,
         head_act=m.Head.activation,

@@ -40,19 +40,29 @@ class Schedule(NamedTuple):
 
 def make_supervised_train_step(
     model,
-    loss_cfg: YoloV5LossConfig,
-    anchors_grid: np.ndarray,
-    opt_cfg: OptimizerConfig,
+    loss_cfg: YoloV5LossConfig = None,
+    anchors_grid: np.ndarray = None,
+    opt_cfg: OptimizerConfig = None,
     norm_scale: float = 255.0,
     compute_dtype=jnp.bfloat16,
+    detection_loss=None,
 ):
     """Build the jitted supervised train step.
 
     The returned fn: (state, images_u8, labels, label_mask, sched) -> (state,
     metrics). Images arrive uint8 NHWC; normalization happens on-device
     (replacing the reference's host-side img/255, trainer.py:417).
+
+    `detection_loss(raw, labels, mask) -> (loss, parts)` selects the loss
+    family (the reference's Loss.type dispatch, trainer.py:320-327); when
+    omitted, the classic YOLOv5 ComputeLoss is used with (loss_cfg,
+    anchors_grid).
     """
-    anchors_grid = np.asarray(anchors_grid, np.float32)
+    if detection_loss is None:
+        anchors_np = np.asarray(anchors_grid, np.float32)
+
+        def detection_loss(raw, labels, label_mask):
+            return compute_loss(raw, labels, label_mask, anchors_np, loss_cfg)
 
     def train_step(state: TrainState, images, labels, label_mask,
                    sched: Schedule):
@@ -65,9 +75,7 @@ def make_supervised_train_step(
             )
             if isinstance(raw, tuple) and len(raw) == 2 and raw[1] is None:
                 raw = raw[0]  # SSODModel with with_domain=False
-            loss, parts = compute_loss(
-                raw, labels, label_mask, anchors_grid, loss_cfg
-            )
+            loss, parts = detection_loss(raw, labels, label_mask)
             return loss, (parts, mutated["batch_stats"])
 
         (loss, (parts, new_bs)), grads = jax.value_and_grad(

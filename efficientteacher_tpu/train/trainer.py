@@ -163,19 +163,51 @@ class Trainer:
         )
 
     def build_loss(self, cfg):
+        """Loss.type dispatch. Unlike the reference (which raises
+        NotImplementedError for ComputeXLoss/ComputeTalLoss at
+        trainer.py:320-327 despite shipping configs that use them —
+        SURVEY.md §2.11), all three loss families are wired here."""
         loss_type = cfg.Loss.type
-        if loss_type in ("ComputeLoss",):
-            self.loss_cfg = YoloV5LossConfig.from_cfg(cfg, nl=self.spec.nl)
+        self.loss_cfg = YoloV5LossConfig.from_cfg(cfg, nl=self.spec.nl)
+        if loss_type == "ComputeLoss":
+            anchors = self.anchors_grid
+            lc = self.loss_cfg
+
+            def det_loss(raw, labels, mask):
+                from ..losses.yolov5_loss import compute_loss
+
+                return compute_loss(raw, labels, mask, anchors, lc)
+
+        elif loss_type in ("ComputeXLoss", "ComputeFastXLoss"):
+            from ..losses.yolox_loss import YoloXLossConfig, compute_yolox_loss
+
+            self.yolox_cfg = YoloXLossConfig.from_cfg(cfg)
+            img = self.img_size
+            xc = self.yolox_cfg
+
+            def det_loss(raw, labels, mask):
+                return compute_yolox_loss(raw, labels, mask, img, xc)
+
+        elif loss_type == "ComputeTalLoss":
+            from ..losses.tal_loss import TALLossConfig, compute_tal_loss
+
+            self.tal_cfg = TALLossConfig.from_cfg(cfg)
+            img = self.img_size
+            tc = self.tal_cfg
+
+            def det_loss(raw, labels, mask):
+                return compute_tal_loss(raw, labels, mask, img, tc)
+
         else:
-            raise NotImplementedError(
-                f"Loss.type {loss_type!r} not wired into the trainer yet"
-            )
+            raise NotImplementedError(f"Loss.type {loss_type!r}")
+        self.detection_loss = det_loss
 
     def build_step(self):
         self.train_step = make_supervised_train_step(
             self.model, self.loss_cfg, self.anchors_grid, self.opt_cfg,
             norm_scale=float(self.cfg.Dataset.norm_scale),
             compute_dtype=self.compute_dtype,
+            detection_loss=self.detection_loss,
         )
 
     # -- schedule -----------------------------------------------------------
