@@ -375,12 +375,35 @@ class RepBlock(nn.Module):
         return x
 
 
-class ELAN(nn.Module):
-    """YOLOv7 efficient layer aggregation block (reference common.py:1523)."""
+def max_pool_2x(x):
+    """2x2/2 max pool (reference MP, common.py:1191)."""
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
 
-    c_mid: int
+
+class AUG(nn.Module):
+    """YOLOv7 downsample-merge helper (reference common.py:1507-1520):
+    concat(conv3x3/2(conv1x1(x)), conv1x1(maxpool(x)))."""
+
     c2: int
-    n: int = 4
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, mp_x, x, train: bool = False):
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        x0 = ConvBase(self.c2, 1, 1, act=self.act, name="cv0", **kw)(mp_x, train)
+        x1 = ConvBase(self.c2, 1, 1, act=self.act, name="cv1", **kw)(x, train)
+        x2 = ConvBase(self.c2, 3, 2, act=self.act, name="cv2", **kw)(x1, train)
+        return jnp.concatenate([x2, x0], axis=-1)
+
+
+class PreConv(nn.Module):
+    """YOLOv7 stem stage (reference common.py:1557-1574)."""
+
+    c2: int
+    e: float = 0.5
+    with_aug: bool = True
     act: Any = "silu"
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
@@ -388,16 +411,136 @@ class ELAN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
-        y1 = ConvBase(self.c_mid, 1, 1, act=self.act, name="cv1", **kw)(x, train)
-        y2 = ConvBase(self.c_mid, 1, 1, act=self.act, name="cv2", **kw)(x, train)
-        outs = [y1, y2]
-        y = y2
+        if self.with_aug:
+            c_ = int(self.c2 * self.e)
+            x = ConvBase(c_, 3, 1, act=self.act, name="cv0", **kw)(x, train)
+        return ConvBase(self.c2, 3, 2, act=self.act, name="cv1", **kw)(x, train)
+
+
+class ELAN(nn.Module):
+    """YOLOv7 backbone ELAN stage (reference common.py:1523-1555):
+    optional MP(+AUG) downsample, then two 1x1 branches, two n-deep 3x3
+    chains, 4-way concat, 1x1 merge."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    with_mp: bool = True
+    with_aug: bool = True
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        c1 = x.shape[-1]
+        c_ = int(c1 * self.e)
+        if self.with_mp and self.with_aug:
+            x = AUG(int(c1 * 0.5), act=self.act, name="aug", **kw)(
+                max_pool_2x(x), x, train
+            )
+        elif self.with_mp:
+            x = max_pool_2x(x)
+        x0 = ConvBase(c_, 1, 1, act=self.act, name="cv0", **kw)(x, train)
+        x1 = ConvBase(c_, 1, 1, act=self.act, name="cv1", **kw)(x, train)
+        x2 = x1
         for i in range(self.n):
-            y = ConvBase(self.c_mid, 3, 1, act=self.act, name=f"cv3_{i}", **kw)(y, train)
-            if i % 2 == 1:
-                outs.append(y)
+            x2 = ConvBase(c_, 3, 1, act=self.act, name=f"m0_{i}", **kw)(x2, train)
+        x3 = x2
+        for i in range(self.n):
+            x3 = ConvBase(c_, 3, 1, act=self.act, name=f"m1_{i}", **kw)(x3, train)
+        y = jnp.concatenate([x3, x2, x1, x0], axis=-1)
+        return ConvBase(self.c2, 1, 1, act=self.act, name="cv2", **kw)(y, train)
+
+
+class ELANNeck(nn.Module):
+    """YOLOv7 neck ELAN block (reference ELAN_NECK, common.py:1576-1609)."""
+
+    c2: int
+    n: int = 3
+    e: float = 0.5
+    e_m: float = 0.5
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        c1 = x.shape[-1]
+        c_ = int(c1 * self.e)
+        c_m = int(c_ * self.e_m)
+        outs = []
+        x0 = ConvBase(c_, 1, 1, act=self.act, name="cv0", **kw)(x, train)
+        outs.append(x0)
+        x1 = ConvBase(c_, 1, 1, act=self.act, name="cv1", **kw)(x, train)
+        outs.append(x1)
+        x2 = ConvBase(c_m, 3, 1, act=self.act, name="cv2", **kw)(x1, train)
+        outs.append(x2)
+        for i in range(self.n):
+            x2 = ConvBase(c_m, 3, 1, act=self.act, name=f"m{i}", **kw)(x2, train)
+            outs.append(x2)
         y = jnp.concatenate(outs[::-1], axis=-1)
-        return ConvBase(self.c2, 1, 1, act=self.act, name="cv4", **kw)(y, train)
+        return ConvBase(self.c2, 1, 1, act=self.act, name="cv3", **kw)(y, train)
+
+
+class SPPCSPC(nn.Module):
+    """YOLOv7 CSP-SPP block (reference common.py:1199-1217)."""
+
+    c2: int
+    k: Sequence[int] = (5, 9, 13)
+    e: float = 0.5
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        c_ = int(2 * self.c2 * self.e)
+        x1 = ConvBase(c_, 1, 1, act=self.act, name="cv1", **kw)(x, train)
+        x1 = ConvBase(c_, 3, 1, act=self.act, name="cv3", **kw)(x1, train)
+        x1 = ConvBase(c_, 1, 1, act=self.act, name="cv4", **kw)(x1, train)
+        ys = [x1] + [_max_pool_same(x1, k) for k in self.k]
+        y1 = ConvBase(c_, 1, 1, act=self.act, name="cv5", **kw)(
+            jnp.concatenate(ys, -1), train
+        )
+        y1 = ConvBase(c_, 3, 1, act=self.act, name="cv6", **kw)(y1, train)
+        y2 = ConvBase(c_, 1, 1, act=self.act, name="cv2", **kw)(x, train)
+        return ConvBase(self.c2, 1, 1, act=self.act, name="cv7", **kw)(
+            jnp.concatenate([y1, y2], -1), train
+        )
+
+
+class SimConv(nn.Module):
+    """Conv+BN+ReLU (reference common.py:1136-1154)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return ConvBase(self.c2, self.k, self.s, act="relu",
+                        dtype=self.dtype, axis_name=self.axis_name,
+                        name="conv")(x, train)
+
+
+class Transpose(nn.Module):
+    """ConvTranspose 2x upsample (reference common.py:1159-1172)."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(
+            self.c2, (2, 2), strides=(2, 2), use_bias=True,
+            dtype=self.dtype, name="upsample_transpose",
+        )(x)
 
 
 class ImplicitA(nn.Module):
@@ -444,3 +587,8 @@ class SimSPPF(nn.Module):
     def __call__(self, x, train: bool = False):
         return SPPF(self.c2, self.k, act="relu", dtype=self.dtype,
                     axis_name=self.axis_name, name="sppf")(x, train)
+
+
+# YOLOv7's RepConv (reference common.py:1219-1400) is structurally the
+# RepVGG train-time block with a configurable activation.
+RepConv = RepVGGBlock

@@ -6,12 +6,14 @@ TAL heads under SSOD -> 'tal')."""
 
 from .yolov5 import YoloV5Detect
 from .yolov6 import YoloV6Detect
+from .yolov7 import YoloV7Detect
 from .yolov8 import YoloV8Detect
 from .yolox import YoloXDetect
 
 _REGISTRY = {
     "YoloV5": YoloV5Detect,
     "YoloV6": YoloV6Detect,
+    "YoloV7": YoloV7Detect,
     "YoloV8": YoloV8Detect,
     "YoloX": YoloXDetect,
 }

@@ -1,9 +1,15 @@
 """Neck factory (reference models/neck/__init__.py:23-39)."""
 
 from .yolov5 import YoloV5Neck
+from .yolov6 import YoloV6Neck
+from .yolov7 import YoloV7Neck
+from .yolov8 import YoloV8Neck
 
 _REGISTRY = {
     "YoloV5": YoloV5Neck,
+    "YoloV6": YoloV6Neck,
+    "YoloV7": YoloV7Neck,
+    "YoloV8": YoloV8Neck,
 }
 
 
