@@ -31,7 +31,8 @@ class YoloV6BackBone(nn.Module):
         d = lambda n: max(round(n * spec.depth_multiple), 1) if n > 1 else n
         ch = [w(c) for c in spec.backbone_out_channels]
         reps = [d(n) for n in spec.depth_num_repeats]
-        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        kw = dict(deploy=spec.deploy, dtype=self.dtype,
+                  axis_name=self.axis_name)
 
         x = RepVGGBlock(ch[0], s=2, name="stem", **kw)(x, train)
         outs = []

@@ -330,12 +330,21 @@ class RepVGGBlock(nn.Module):
     g: int = 1
     act: Any = "relu"
     use_se: bool = False
+    deploy: bool = False
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.k == 3
+        if self.deploy:
+            # single fused 3x3 conv (weights produced by
+            # utils.reparam.fuse_repvgg_tree)
+            y = nn.Conv(self.c2, (3, 3), (self.s, self.s),
+                        padding=[(1, 1), (1, 1)], feature_group_count=self.g,
+                        use_bias=True, dtype=self.dtype,
+                        name="rbr_reparam")(x)
+            return get_activation(self.act)(y)
         c1 = x.shape[-1]
         bn_kw = dict(
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
@@ -362,16 +371,17 @@ class RepBlock(nn.Module):
     c2: int
     n: int = 1
     act: Any = "relu"
+    deploy: bool = False
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = RepVGGBlock(self.c2, act=self.act, dtype=self.dtype,
-                        axis_name=self.axis_name, name="conv1")(x, train)
+        kw = dict(act=self.act, deploy=self.deploy, dtype=self.dtype,
+                  axis_name=self.axis_name)
+        x = RepVGGBlock(self.c2, name="conv1", **kw)(x, train)
         for i in range(self.n - 1):
-            x = RepVGGBlock(self.c2, act=self.act, dtype=self.dtype,
-                            axis_name=self.axis_name, name=f"block_{i}")(x, train)
+            x = RepVGGBlock(self.c2, name=f"block_{i}", **kw)(x, train)
         return x
 
 

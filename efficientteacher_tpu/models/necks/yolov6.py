@@ -34,26 +34,28 @@ class YoloV6Neck(nn.Module):
             d(n) for n in spec.neck_num_repeats
         ]
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        rep = dict(deploy=spec.deploy, dtype=self.dtype,
+                   axis_name=self.axis_name)
 
         x2, x1, x0 = inputs
         fpn_out0 = SimConv(cl[6], 1, 1, name="reduce_layer0", **kw)(x0, train)
         up0 = Transpose(cl[6], dtype=self.dtype, name="upsample0")(fpn_out0)
-        f_out0 = RepBlock(cl[6], reps[5], name="Rep_p4", **kw)(
+        f_out0 = RepBlock(cl[6], reps[5], name="Rep_p4", **rep)(
             jnp.concatenate([up0, x1], -1), train
         )
         fpn_out1 = SimConv(cl[5], 1, 1, name="reduce_layer1", **kw)(
             f_out0, train
         )
         up1 = Transpose(cl[5], dtype=self.dtype, name="upsample1")(fpn_out1)
-        pan_out2 = RepBlock(cl[5], reps[6], name="Rep_p3", **kw)(
+        pan_out2 = RepBlock(cl[5], reps[6], name="Rep_p3", **rep)(
             jnp.concatenate([up1, x2], -1), train
         )
         down1 = SimConv(cl[5], 3, 2, name="downsample2", **kw)(pan_out2, train)
-        pan_out1 = RepBlock(cl[6], reps[7], name="Rep_n3", **kw)(
+        pan_out1 = RepBlock(cl[6], reps[7], name="Rep_n3", **rep)(
             jnp.concatenate([down1, fpn_out1], -1), train
         )
         down0 = SimConv(cl[6], 3, 2, name="downsample1", **kw)(pan_out1, train)
-        pan_out0 = RepBlock(cl[7], reps[8], name="Rep_n4", **kw)(
+        pan_out0 = RepBlock(cl[7], reps[8], name="Rep_n4", **rep)(
             jnp.concatenate([down0, fpn_out0], -1), train
         )
         return pan_out2, pan_out1, pan_out0

@@ -75,10 +75,10 @@ class YoloV7Neck(nn.Module):
         x50 = ELANNeck(c0, 3, 0.5, 0.5, act=act, dtype=self.dtype,
                        axis_name=self.axis_name, name="elan_3")(x42, train)
 
-        o3 = RepConv(out_p3, act=act, dtype=self.dtype,
+        o3 = RepConv(out_p3, act=act, deploy=spec.deploy, dtype=self.dtype,
                      axis_name=self.axis_name, name="repconv0")(x24, train)
-        o4 = RepConv(out_p4, act=act, dtype=self.dtype,
+        o4 = RepConv(out_p4, act=act, deploy=spec.deploy, dtype=self.dtype,
                      axis_name=self.axis_name, name="repconv1")(x37, train)
-        o5 = RepConv(out_p5, act=act, dtype=self.dtype,
+        o5 = RepConv(out_p5, act=act, deploy=spec.deploy, dtype=self.dtype,
                      axis_name=self.axis_name, name="repconv2")(x50, train)
         return o3, o4, o5

@@ -44,6 +44,7 @@ class ModelSpec:
     neck_num_repeats: Tuple[int, ...] = (12, 12, 12, 12)
     backbone_out_channels: Tuple[int, ...] = (64, 128, 256, 512, 1024)
     train_domain: bool = False
+    deploy: bool = False
 
     @property
     def nl(self) -> int:

@@ -236,6 +236,21 @@ class Trainer:
         if self.epoch == self.epochs - self.cfg.hyp.no_aug_epochs:
             LOGGER.info("closing mosaic augmentation")
             self.dataset.mosaic = False
+            if self.cfg.Loss.type in ("ComputeXLoss", "ComputeFastXLoss"):
+                # yolox: enable the extra L1 term for the no-aug tail
+                # (reference trainer.py:366-368)
+                from ..losses.yolox_loss import (
+                    YoloXLossConfig, compute_yolox_loss,
+                )
+
+                self.yolox_cfg = YoloXLossConfig.from_cfg(self.cfg, use_l1=True)
+                img, xc = self.img_size, self.yolox_cfg
+                self.detection_loss = (
+                    lambda raw, labels, mask: compute_yolox_loss(
+                        raw, labels, mask, img, xc
+                    )
+                )
+                self.build_step()  # recompiles once
         self.meter = MetricMeter()
 
     def train_in_epoch(self):

@@ -1,0 +1,140 @@
+"""Export CLI (parity: reference export.py:78-94 + deploy/model_convert.py).
+
+Formats:
+  params       stripped inference checkpoint (EMA preferred, fp16)
+  deploy       RepVGG-fused deploy checkpoint (single-conv blocks) — the
+               TPU-relevant part of the reference's fuse()/switch_to_deploy
+  torch        reference-style flat state_dict .npz (the mula-convertor
+               efficient->yolov5 direction; loadable from torch without jax)
+  saved_model  TF SavedModel via jax2tf (CPU/TPU serving)
+  tflite       TFLite flatbuffer via the TF converter
+
+ONNX/TensorRT/CoreML exporters from the reference matrix depend on packages
+not present in this environment; SavedModel covers the TF-family targets
+(pb/tflite/tfjs/edgetpu feed from it).
+
+Usage:
+    python export.py --cfg <yaml> --weights best.ckpt --include params deploy
+"""
+
+import argparse
+import logging
+from pathlib import Path
+
+LOGGER = logging.getLogger(__name__)
+
+
+def parse_opt():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--include", nargs="+", default=["params"],
+                   choices=["params", "deploy", "torch", "saved_model",
+                            "tflite"])
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--out", default=None, help="output stem")
+    p.add_argument("opts", nargs=argparse.REMAINDER)
+    return p.parse_args()
+
+
+def main(opt):
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficientteacher_tpu.configs import get_cfg
+    from efficientteacher_tpu.models import build_model
+    from efficientteacher_tpu.models.spec import spec_from_cfg
+    from efficientteacher_tpu.utils.checkpoint import (
+        load_eval_variables, save_checkpoint,
+    )
+    from efficientteacher_tpu.utils.reparam import fuse_repvgg_tree
+
+    cfg = get_cfg()
+    cfg.merge_from_file(opt.cfg)
+    if opt.opts:
+        cfg.merge_from_list(opt.opts)
+    cfg.freeze()
+    spec = spec_from_cfg(cfg)
+    variables = load_eval_variables(opt.weights)
+    stem = Path(opt.out or opt.weights).with_suffix("")
+
+    if "params" in opt.include:
+        out = stem.with_suffix(".params.ckpt")
+        save_checkpoint(out, params=variables["params"],
+                        batch_stats=variables["batch_stats"],
+                        cfg_yaml=cfg.dump())
+        LOGGER.info("params -> %s", out)
+
+    fused_vars, fused_spec = None, None
+    if "deploy" in opt.include or "saved_model" in opt.include \
+            or "tflite" in opt.include:
+        fp, fbs = fuse_repvgg_tree(
+            jax.tree.map(np.asarray, variables["params"]),
+            jax.tree.map(np.asarray, variables["batch_stats"]),
+        )
+        fused_vars = {"params": jax.tree.map(jnp.asarray, fp),
+                      "batch_stats": jax.tree.map(jnp.asarray, fbs)}
+        fused_spec = dataclasses.replace(spec, deploy=True)
+
+    if "deploy" in opt.include:
+        out = stem.with_suffix(".deploy.ckpt")
+        save_checkpoint(out, params=fused_vars["params"],
+                        batch_stats=fused_vars["batch_stats"],
+                        cfg_yaml=cfg.dump())
+        LOGGER.info("deploy (RepVGG-fused) -> %s", out)
+
+    if "torch" in opt.include:
+        from efficientteacher_tpu.utils.torch_import import (
+            export_to_torch_state_dict,
+        )
+
+        sd = export_to_torch_state_dict(
+            jax.tree.map(np.asarray, variables["params"]),
+            jax.tree.map(np.asarray, variables["batch_stats"]),
+        )
+        out = stem.with_suffix(".state_dict.npz")
+        np.savez(out, **sd)
+        LOGGER.info("torch state_dict (%d tensors) -> %s", len(sd), out)
+
+    if "saved_model" in opt.include or "tflite" in opt.include:
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+
+        model = build_model(fused_spec, ssod=False, dtype=jnp.float32)
+
+        def fwd(x):
+            decoded, _ = model.apply(fused_vars, x, train=False)
+            return decoded
+
+        shape = (opt.batch, opt.img_size, opt.img_size, 3)
+        tf_fn = tf.function(
+            jax2tf.convert(fwd, with_gradient=False),
+            input_signature=[tf.TensorSpec(shape, tf.float32)],
+            autograph=False,
+        )
+        module = tf.Module()
+        module.f = tf_fn
+        sm_dir = str(stem) + "_saved_model"
+        tf.saved_model.save(module, sm_dir)
+        LOGGER.info("saved_model -> %s", sm_dir)
+        if "tflite" in opt.include:
+            conv = tf.lite.TFLiteConverter.from_concrete_functions(
+                [tf_fn.get_concrete_function()], module
+            )
+            conv.target_spec.supported_ops = [
+                tf.lite.OpsSet.TFLITE_BUILTINS,
+                tf.lite.OpsSet.SELECT_TF_OPS,
+            ]
+            blob = conv.convert()
+            out = stem.with_suffix(".tflite")
+            out.write_bytes(blob)
+            LOGGER.info("tflite -> %s", out)
+
+
+if __name__ == "__main__":
+    main(parse_opt())
