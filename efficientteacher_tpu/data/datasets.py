@@ -352,14 +352,55 @@ class LoadImagesAndLabels:
         return labels, mask
 
 
+def class_balanced_indices(labels, nc: int, rng: random.Random):
+    """Oversample images containing rare classes so every class is seen at a
+    comparable rate (the reference's BalancedBatchSampler intent,
+    utils/datasets.py:225-292). Returns an index list the size of the
+    dataset, sampled with per-image weights = mean inverse class frequency."""
+    n = len(labels)
+    counts = np.zeros(nc) + 1e-6
+    for lb in labels:
+        if len(lb):
+            counts += np.bincount(lb[:, 0].astype(int), minlength=nc)
+    inv = counts.sum() / counts
+    weights = np.ones(n)
+    for i, lb in enumerate(labels):
+        if len(lb):
+            weights[i] = inv[lb[:, 0].astype(int)].mean()
+    weights = weights / weights.sum()
+    r = np.random.default_rng(rng.randrange(2**31))
+    return r.choice(n, size=n, p=weights).tolist()
+
+
+def dir_balanced_indices(img_files, rng: random.Random):
+    """Round-robin across parent directories (the reference's
+    DistributeBalancedBatchSampler intent, utils/datasets.py:134-223)."""
+    groups: Dict[str, List[int]] = {}
+    for i, f in enumerate(img_files):
+        groups.setdefault(str(Path(f).parent), []).append(i)
+    pools = list(groups.values())
+    for pool in pools:
+        rng.shuffle(pool)
+    out, k = [], 0
+    n = len(img_files)
+    while len(out) < n:
+        pool = pools[k % len(pools)]
+        out.append(pool[(k // len(pools)) % len(pool)])
+        k += 1
+    return out
+
+
 class BatchLoader:
     """Thread-prefetched epoch iterator over a dataset yielding stacked
     fixed-shape numpy batches (replaces the reference's InfiniteDataLoader +
-    torch collate, datasets.py:296-318, 1163-1168)."""
+    torch collate, datasets.py:296-318, 1163-1168).
+
+    sampler_type: normal | class_balance | dir_balance
+    (reference cfg.Dataset.sampler_type, datasets.py:341-353)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True, prefetch: int = 4,
-                 workers: int = 2):
+                 workers: int = 2, sampler_type: str = "normal"):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -368,15 +409,21 @@ class BatchLoader:
         self.workers = max(1, workers)
         self.epoch = 0
         self.seed = seed
+        self.sampler_type = sampler_type
 
     def __len__(self):
         n = len(self.ds)
         return n // self.bs if self.drop_last else math.ceil(n / self.bs)
 
     def _indices(self):
+        rng = random.Random(self.seed + self.epoch)
+        if self.sampler_type == "class_balance":
+            return class_balanced_indices(self.ds.labels, self.ds.nc, rng)
+        if self.sampler_type == "dir_balance":
+            return dir_balanced_indices(self.ds.img_files, rng)
         idx = list(range(len(self.ds)))
         if self.shuffle:
-            random.Random(self.seed + self.epoch).shuffle(idx)
+            rng.shuffle(idx)
         return idx
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -433,4 +480,5 @@ def create_dataloader(cfg, split: str = "train", augment: Optional[bool] = None,
         shuffle=augment,
         seed=seed,
         drop_last=augment,
+        sampler_type=cfg.Dataset.sampler_type if augment else "normal",
     )

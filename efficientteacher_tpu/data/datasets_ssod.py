@@ -140,6 +140,13 @@ class LoadImagesAndFakeLabels(LoadImagesAndLabels):
             )
             if self.rng.random() < hyp.get("cutout", 0) and len(targets):
                 cutout(strong, targets, self.rng)
+            if self.rng.random() < hyp.get("autoaugment", 0) and len(targets):
+                from .autoaugment import distort_image_with_autoaugment
+
+                strong = np.ascontiguousarray(strong)
+                strong, targets = distort_image_with_autoaugment(
+                    strong, targets, "v5", self.rng
+                )
         else:
             strong = weak.copy()
             m_s[1:10] = np.eye(3, dtype=np.float32).reshape(-1)
