@@ -1,0 +1,55 @@
+"""Plots, profiler, loggers smoke tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from efficientteacher_tpu.utils.callbacks import Callbacks
+from efficientteacher_tpu.utils.loggers import Loggers
+from efficientteacher_tpu.utils.plots import (
+    plot_images,
+    plot_labels,
+    plot_results,
+)
+from efficientteacher_tpu.utils.profile import count_params, profile_fn
+
+
+def test_plots(tmp_path):
+    labels = [np.array([[0, 0.5, 0.5, 0.2, 0.3], [1, 0.3, 0.4, 0.1, 0.1]])]
+    plot_labels(labels, nc=2, save_dir=tmp_path)
+    assert (tmp_path / "labels.png").exists()
+
+    images = np.random.default_rng(0).integers(0, 255, (4, 64, 64, 3),
+                                               np.uint8)
+    lab = np.zeros((4, 3, 6), np.float32)
+    lab[:, 0] = [1, 0.5, 0.5, 0.4, 0.4, 0.9]
+    mask = np.zeros((4, 3), bool)
+    mask[:, 0] = True
+    plot_images(images, lab, mask, tmp_path / "batch.png", with_scores=True)
+    assert (tmp_path / "batch.png").exists()
+
+    csv_file = tmp_path / "results.csv"
+    csv_file.write_text("epoch,a,b\n0,1.0,2.0\n1,0.5,1.5\n")
+    plot_results(csv_file)
+    assert (tmp_path / "results.png").exists()
+
+
+def test_profile_fn():
+    f = lambda x: jnp.sum(x * 2)
+    stats = profile_fn(f, jnp.ones((128, 128)), iters=3, warmup=1)
+    assert stats["mean_ms"] > 0
+    assert count_params({"a": jnp.ones((3, 4)), "b": jnp.ones(5)}) == 17
+
+
+def test_loggers_csv_and_bus(tmp_path):
+    lg = Loggers(tmp_path, include=("csv",))
+    cb = Callbacks()
+    lg.register(cb)
+    cb.run("on_fit_epoch_end",
+           {"train/box_loss": 0.5, "metrics/mAP_0.5": 0.3}, 0)
+    cb.run("on_fit_epoch_end",
+           {"train/box_loss": 0.4, "metrics/mAP_0.5": 0.4}, 1)
+    cb.run("on_train_end")
+    rows = (tmp_path / "results.csv").read_text().strip().splitlines()
+    assert len(rows) == 3
+    assert rows[0].startswith("epoch,")
