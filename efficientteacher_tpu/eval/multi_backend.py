@@ -1,0 +1,115 @@
+"""DetectBackend: one inference facade over every format this framework
+emits.
+
+Parity with reference utils/detect_multi_backend.py:27-355 (a 14-format
+torch facade): format is detected by suffix, a uniform
+`__call__(images_u8_rgb) -> (B, N, 5+nc) decoded predictions` is exposed,
+and `warmup()` pre-compiles. Formats:
+
+  .ckpt         native checkpoint (EMA-preferred), jitted flax forward
+  .deploy.ckpt  RepVGG-fused deploy checkpoint
+  .pt           reference torch checkpoint, imported on the fly
+  saved_model/  TF SavedModel (from export.py)
+  .tflite       TFLite flatbuffer (TF interpreter)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+class DetectBackend:
+    def __init__(self, weights: str, cfg, norm_scale: float = 255.0):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import build_model
+        from ..models.spec import spec_from_cfg
+
+        self.weights = str(weights)
+        self.norm_scale = norm_scale
+        self.spec = spec_from_cfg(cfg)
+        self.kind = self._detect_kind(self.weights)
+        self._tf_fn = None
+        self._tflite = None
+        self._jit = None
+
+        if self.kind in ("ckpt", "deploy", "pt"):
+            spec = self.spec
+            if self.kind == "deploy":
+                spec = dataclasses.replace(spec, deploy=True)
+            model = build_model(spec, ssod=False, dtype=jnp.bfloat16)
+            if self.kind == "pt":
+                from ..utils.torch_import import load_torch_weights
+
+                tree = load_torch_weights(self.weights, spec)
+                variables = {
+                    k: jax.tree.map(jnp.asarray, v) for k, v in tree.items()
+                }
+            else:
+                from ..utils.checkpoint import load_eval_variables
+
+                variables = load_eval_variables(self.weights)
+            self._variables = variables
+
+            @jax.jit
+            def fwd(v, x):
+                decoded, _ = model.apply(
+                    v, x.astype(jnp.bfloat16) / norm_scale, train=False
+                )
+                return decoded
+
+            self._jit = fwd
+        elif self.kind == "saved_model":
+            import tensorflow as tf
+
+            self._tf_mod = tf.saved_model.load(self.weights)
+            self._tf_fn = self._tf_mod.f
+        elif self.kind == "tflite":
+            import tensorflow as tf
+
+            self._tflite = tf.lite.Interpreter(model_path=self.weights)
+            self._tflite.allocate_tensors()
+        else:
+            raise NotImplementedError(f"format {self.kind!r}")
+
+    @staticmethod
+    def _detect_kind(path: str) -> str:
+        p = Path(path)
+        if p.is_dir():
+            return "saved_model"
+        name = p.name
+        if name.endswith(".deploy.ckpt"):
+            return "deploy"
+        if name.endswith(".ckpt"):
+            return "ckpt"
+        if name.endswith(".pt"):
+            return "pt"
+        if name.endswith(".tflite"):
+            return "tflite"
+        return "unknown"
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        """images: (B, H, W, 3) uint8 RGB -> decoded (B, N, 5+nc) f32."""
+        if self._jit is not None:
+            import jax.numpy as jnp
+
+            return np.asarray(self._jit(self._variables, jnp.asarray(images)))
+        if self._tf_fn is not None:
+            x = images.astype(np.float32) / self.norm_scale
+            return np.asarray(self._tf_fn(x))
+        if self._tflite is not None:
+            inp = self._tflite.get_input_details()[0]
+            out = self._tflite.get_output_details()[0]
+            x = images.astype(np.float32) / self.norm_scale
+            self._tflite.set_tensor(inp["index"], x)
+            self._tflite.invoke()
+            return self._tflite.get_tensor(out["index"])
+        raise RuntimeError("no backend initialized")
+
+    def warmup(self, shape=(1, 640, 640, 3)):
+        self(np.zeros(shape, np.uint8))

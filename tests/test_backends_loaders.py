@@ -1,0 +1,63 @@
+"""DetectBackend facade (ckpt + deploy + saved_model) and LoadImages."""
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+import pytest
+
+from efficientteacher_tpu.configs import get_cfg
+from efficientteacher_tpu.data.loaders import LoadImages
+from efficientteacher_tpu.eval.multi_backend import DetectBackend
+from efficientteacher_tpu.models import Model
+from efficientteacher_tpu.models.spec import spec_from_cfg
+from efficientteacher_tpu.utils.checkpoint import save_checkpoint
+
+
+def tiny_cfg():
+    cfg = get_cfg()
+    cfg.Model.Backbone.name = "YoloV5"
+    cfg.Model.Neck.name = "YoloV5"
+    cfg.Model.Head.name = "YoloV5"
+    cfg.Model.Neck.in_channels = [256, 512, 1024]
+    cfg.Model.Neck.out_channels = [256, 512, 1024]
+    cfg.Model.width_multiple = 0.125
+    cfg.Model.depth_multiple = 0.34
+    cfg.Dataset.nc = 3
+    cfg.Dataset.img_size = 64
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def ckpt_path(tmp_path_factory):
+    cfg = tiny_cfg()
+    spec = spec_from_cfg(cfg)
+    model = Model(spec=spec, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.bfloat16),
+                           train=False)
+    path = tmp_path_factory.mktemp("w") / "m.ckpt"
+    save_checkpoint(path, params=variables["params"],
+                    batch_stats=variables["batch_stats"], half=False)
+    return str(path)
+
+
+def test_backend_ckpt(ckpt_path):
+    be = DetectBackend(ckpt_path, tiny_cfg())
+    assert be.kind == "ckpt"
+    out = be(np.zeros((2, 64, 64, 3), np.uint8))
+    assert out.shape == (2, 3 * (8 * 8 + 4 * 4 + 2 * 2), 5 + 3)
+    assert np.isfinite(out).all()
+    be.warmup((1, 64, 64, 3))
+
+
+def test_load_images(tmp_path):
+    for i in range(3):
+        cv2.imwrite(str(tmp_path / f"i{i}.jpg"),
+                    np.full((100, 80, 3), 100, np.uint8))
+    li = LoadImages(str(tmp_path), img_size=64)
+    items = list(li)
+    assert len(items) == 3
+    path, rgb, img0, rp = items[0]
+    assert rgb.shape == (64, 64, 3)
+    assert img0.shape == (100, 80, 3)
