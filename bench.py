@@ -70,18 +70,23 @@ def main():
     labels, mask = jnp.asarray(labels), jnp.asarray(mask)
     sched = Schedule.make(0.01, 0.01, 0.937, 2)
 
-    # warmup/compile (3 steps: compile + pipeline warm)
+    # warmup/compile (host materialization = true device sync;
+    # block_until_ready returns early through the axon tunnel)
     for _ in range(3):
         state, parts = step(state, images, labels, mask, sched)
-        float(parts["loss"])  # host materialization = true device sync
-        # (block_until_ready alone returns early through the axon tunnel)
+        float(parts["loss"])
 
-    iters = 15
+    # steady-state: chain `iters` dependent steps, materialize only the
+    # final loss. The state dependency chain forces every step to execute;
+    # the single fetch amortizes the ~35 ms per-call tunnel latency that
+    # per-step syncing would otherwise add to every step.
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, parts = step(state, images, labels, mask, sched)
-        float(parts["loss"])
+    final_loss = float(parts["loss"])
     dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(final_loss)
     imgs_per_sec = b / dt
 
     print(json.dumps({
