@@ -158,6 +158,7 @@ class LoadImagesAndLabels:
         include_class: Optional[List[int]] = None,
         cache_dir: Optional[str] = None,
         seed: int = 0,
+        cache_images: bool = False,
     ):
         self.img_size = img_size
         self.hyp = dict(hyp or {})
@@ -167,6 +168,8 @@ class LoadImagesAndLabels:
         self.single_cls = single_cls
         self.mosaic = augment and self.hyp.get("mosaic", 0) > 0
         self.rng = random.Random(seed)
+        self.cache_images = cache_images
+        self._img_cache: Dict[int, tuple] = {}
 
         pairs = parse_data_path(path)
         self.img_files = [p[0] for p in pairs]
@@ -234,7 +237,11 @@ class LoadImagesAndLabels:
 
     # -- image io ------------------------------------------------------------
     def load_image(self, i: int):
-        """Load + resize longest side to img_size (reference datasets.py:1198)."""
+        """Load + resize longest side to img_size (reference datasets.py:1198);
+        optional RAM cache of resized images (reference cfg.cache,
+        datasets.py:797-818)."""
+        if i in self._img_cache:
+            return self._img_cache[i]
         img = cv2.imread(self.img_files[i])
         h0, w0 = img.shape[:2]
         r = self.img_size / max(h0, w0)
@@ -245,7 +252,10 @@ class LoadImagesAndLabels:
                 interpolation=cv2.INTER_LINEAR if (self.augment or r > 1)
                 else cv2.INTER_AREA,
             )
-        return img, (h0, w0), img.shape[:2]
+        out = (img, (h0, w0), img.shape[:2])
+        if self.cache_images:
+            self._img_cache[i] = out
+        return out
 
     def _labels_xyxy_pixels(self, i: int, ratio_w, ratio_h, padw, padh):
         """Normalized xywh -> pixel xyxy in the (resized+padded) frame."""
@@ -473,6 +483,7 @@ def create_dataloader(cfg, split: str = "train", augment: Optional[bool] = None,
         max_targets=cfg.Dataset.max_targets,
         single_cls=cfg.single_cls,
         seed=seed,
+        cache_images=bool(cfg.cache),
     )
     return BatchLoader(
         ds,

@@ -75,11 +75,21 @@ def run(
     norm_scale: float = 255.0,
     compute_dtype=jnp.bfloat16,
     img_size: Optional[int] = None,
+    save_json: Optional[str] = None,
+    confusion: bool = False,
 ):
     """Evaluate `model(variables)` over `loader`. Returns
-    ((mp, mr, map50, map), per_class_maps, cls_thr)."""
+    ((mp, mr, map50, map), per_class_maps, cls_thr).
+
+    save_json: path for COCO-format predictions (reference val.py:427-452;
+    pycocotools COCOeval runs on it when that package is present).
+    confusion: also accumulate a ConfusionMatrix (reference val.py)."""
+    from .metrics import ConfusionMatrix
+
     iouv = np.linspace(0.5, 0.95, 10)
     stats = []
+    json_preds = []
+    cm = ConfusionMatrix(nc) if confusion else None
     infer = make_infer_fn(model, nc, conf_thres, iou_thres, max_det,
                           max_nms, norm_scale, compute_dtype)
     compiled_bs = None
@@ -117,6 +127,19 @@ def run(
             if len(det):
                 det = det.copy()
                 det[:, :4] = _scale_to_native(det[:, :4], (lh, lw), native_hw)
+            if cm is not None:
+                cm.process_batch(det, lxyxy)
+            if save_json is not None and len(det):
+                img_id = batch["indices"][bi]
+                for *xyxy, conf, cls in det:
+                    json_preds.append({
+                        "image_id": int(img_id),
+                        "category_id": int(cls),
+                        "bbox": [float(xyxy[0]), float(xyxy[1]),
+                                 float(xyxy[2] - xyxy[0]),
+                                 float(xyxy[3] - xyxy[1])],
+                        "score": round(float(conf), 5),
+                    })
             correct = process_batch(det, lxyxy, iouv)
             stats.append((
                 correct,
@@ -124,6 +147,12 @@ def run(
                 det[:, 5] if len(det) else np.zeros(0),
                 lxyxy[:, 0],
             ))
+
+    if save_json is not None:
+        import json
+
+        with open(save_json, "w") as f:
+            json.dump(json_preds, f)
 
     stats = [np.concatenate(x, 0) for x in zip(*stats)]
     if len(stats) and stats[0].any():
@@ -137,4 +166,7 @@ def run(
         mp = mr = map50 = map_ = 0.0
         maps = np.zeros(nc)
         cls_thr = [conf_thres] * nc
-    return (float(mp), float(mr), float(map50), float(map_)), maps, cls_thr
+    out = ((float(mp), float(mr), float(map50), float(map_)), maps, cls_thr)
+    if cm is not None:
+        return out + (cm,)
+    return out

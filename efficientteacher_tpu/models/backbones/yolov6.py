@@ -15,7 +15,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..common import RepBlock, RepVGGBlock, SimSPPF, make_divisible
+from ..common import RepBlock, SimSPPF, VGG_BLOCKS, make_divisible
 from ..spec import ModelSpec
 
 
@@ -31,16 +31,18 @@ class YoloV6BackBone(nn.Module):
         d = lambda n: max(round(n * spec.depth_multiple), 1) if n > 1 else n
         ch = [w(c) for c in spec.backbone_out_channels]
         reps = [d(n) for n in spec.depth_num_repeats]
+        block = VGG_BLOCKS[spec.vgg_block_type]
         kw = dict(deploy=spec.deploy, dtype=self.dtype,
                   axis_name=self.axis_name)
 
-        x = RepVGGBlock(ch[0], s=2, name="stem", **kw)(x, train)
+        x = block(ch[0], s=2, name="stem", **kw)(x, train)
         outs = []
         for i in range(1, 5):
-            x = RepVGGBlock(ch[i], s=2, name=f"ERBlock_{i + 1}_0", **kw)(
+            x = block(ch[i], s=2, name=f"ERBlock_{i + 1}_0", **kw)(
                 x, train
             )
-            x = RepBlock(ch[i], reps[i], name=f"ERBlock_{i + 1}_1", **kw)(
+            x = RepBlock(ch[i], reps[i], block_type=spec.vgg_block_type,
+                         name=f"ERBlock_{i + 1}_1", **kw)(
                 x, train
             )
             if i == 4:

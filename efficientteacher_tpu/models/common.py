@@ -366,22 +366,26 @@ class RepVGGBlock(nn.Module):
 
 
 class RepBlock(nn.Module):
-    """Sequence of RepVGG blocks (YOLOv6 EfficientRep stage)."""
+    """Sequence of rep-style blocks (YOLOv6 EfficientRep stage). The block
+    class is selected by `block_type` (reference yolov6_backbone.py:29-36
+    Model.{RealVGGModel,QARepVGGModel,LinearAddModel} switch)."""
 
     c2: int
     n: int = 1
     act: Any = "relu"
     deploy: bool = False
+    block_type: str = "repvgg"
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        block = VGG_BLOCKS[self.block_type]
         kw = dict(act=self.act, deploy=self.deploy, dtype=self.dtype,
                   axis_name=self.axis_name)
-        x = RepVGGBlock(self.c2, name="conv1", **kw)(x, train)
+        x = block(self.c2, name="conv1", **kw)(x, train)
         for i in range(self.n - 1):
-            x = RepVGGBlock(self.c2, name=f"block_{i}", **kw)(x, train)
+            x = block(self.c2, name=f"block_{i}", **kw)(x, train)
         return x
 
 
@@ -602,3 +606,247 @@ class SimSPPF(nn.Module):
 # YOLOv7's RepConv (reference common.py:1219-1400) is structurally the
 # RepVGG train-time block with a configurable activation.
 RepConv = RepVGGBlock
+
+
+class SE(nn.Module):
+    """Squeeze-excitation channel attention (reference common.py SE block)."""
+
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        s = x.mean(axis=(1, 2))
+        s = nn.Dense(max(c // self.reduction, 1), dtype=self.dtype,
+                     name="fc1")(s)
+        s = nn.relu(s)
+        s = nn.Dense(c, dtype=self.dtype, name="fc2")(s)
+        return x * jax.nn.sigmoid(s)[:, None, None, :]
+
+
+class CBAM(nn.Module):
+    """Convolutional block attention: channel then spatial gate
+    (reference common.py CBAM)."""
+
+    reduction: int = 16
+    k: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        hidden = max(c // self.reduction, 1)
+        mlp = nn.Sequential([
+            nn.Dense(hidden, dtype=self.dtype),
+            nn.relu,
+            nn.Dense(c, dtype=self.dtype),
+        ])
+        ca = jax.nn.sigmoid(mlp(x.mean((1, 2))) + mlp(x.max((1, 2))))
+        x = x * ca[:, None, None, :]
+        sp = jnp.concatenate(
+            [x.mean(-1, keepdims=True), x.max(-1, keepdims=True)], -1
+        )
+        sa = nn.Conv(1, (self.k, self.k),
+                     padding=[(self.k // 2,) * 2] * 2,
+                     dtype=self.dtype, name="spatial")(sp)
+        return x * jax.nn.sigmoid(sa)
+
+
+class GhostConv(nn.Module):
+    """Ghost convolution: half dense, half depthwise-cheap
+    (reference common.py GhostConv)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        y = ConvBase(c_, self.k, self.s, act=self.act, name="cv1", **kw)(x, train)
+        y2 = ConvBase(c_, 5, 1, g=c_, act=self.act, name="cv2", **kw)(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class GhostBottleneck(nn.Module):
+    """(reference common.py GhostBottleneck)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        y = GhostConv(c_, 1, 1, act=self.act, name="conv1", **kw)(x, train)
+        if self.s == 2:
+            y = DWConv(c_, self.k, self.s, act=False, name="dw", **kw)(y, train)
+        y = GhostConv(self.c2, 1, 1, act=False, name="conv2", **kw)(y, train)
+        if self.s == 1 and x.shape[-1] == self.c2:
+            return x + y
+        sc = DWConv(self.c2, self.k, self.s, act=False, name="short_dw",
+                    **kw)(x, train)
+        sc = ConvBase(self.c2, 1, 1, act=False, name="short_pw", **kw)(sc, train)
+        return y + sc
+
+
+class TransformerBlock(nn.Module):
+    """Lightweight vision transformer over a conv feature map
+    (reference common.py TransformerBlock/TransformerLayer:498-533)."""
+
+    c2: int
+    num_heads: int = 4
+    num_layers: int = 1
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        if c != self.c2:
+            x = ConvBase(self.c2, 1, 1, dtype=self.dtype,
+                         axis_name=self.axis_name, name="conv")(x, train)
+        seq = x.reshape(b, h * w, self.c2)
+        pos = nn.Dense(self.c2, dtype=self.dtype, name="linear")(seq)
+        seq = seq + pos
+        for i in range(self.num_layers):
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, dtype=self.dtype,
+                name=f"tr_{i}_attn",
+            )(seq, seq)
+            seq = seq + attn
+            y = nn.Dense(self.c2, dtype=self.dtype, name=f"tr_{i}_fc1")(seq)
+            y = nn.Dense(self.c2, dtype=self.dtype, name=f"tr_{i}_fc2")(y)
+            seq = seq + y
+        return seq.reshape(b, h, w, self.c2)
+
+
+class C3TR(nn.Module):
+    """C3 with a transformer inner stage (reference common.py:636-641)."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        y1 = ConvBase(c_, 1, 1, act=self.act, name="cv1", **kw)(x, train)
+        y1 = TransformerBlock(c_, 4, self.n, dtype=self.dtype,
+                              axis_name=self.axis_name, name="m")(y1, train)
+        y2 = ConvBase(c_, 1, 1, act=self.act, name="cv2", **kw)(x, train)
+        return ConvBase(self.c2, 1, 1, act=self.act, name="cv3", **kw)(
+            jnp.concatenate([y1, y2], -1), train
+        )
+
+
+class C3Ghost(nn.Module):
+    """C3 with GhostBottleneck inner stages (reference common.py:647-652)."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    act: Any = "silu"
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        y1 = ConvBase(c_, 1, 1, act=self.act, name="cv1", **kw)(x, train)
+        for i in range(self.n):
+            y1 = GhostBottleneck(c_, act=self.act, name=f"m_{i}", **kw)(
+                y1, train
+            )
+        y2 = ConvBase(c_, 1, 1, act=self.act, name="cv2", **kw)(x, train)
+        return ConvBase(self.c2, 1, 1, act=self.act, name="cv3", **kw)(
+            jnp.concatenate([y1, y2], -1), train
+        )
+
+
+class RealVGGBlock(nn.Module):
+    """Plain conv3x3+BN+ReLU — the RepOpt target topology
+    (reference common.py:1612-1630). Trained with the RepVGGOptimizer
+    gradient masks (train/repopt.py)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    act: Any = "relu"
+    deploy: bool = False  # unused; single-branch already
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.c2, (self.k, self.k), (self.s, self.s),
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3,
+                         axis_name=self.axis_name if train else None,
+                         dtype=self.dtype, name="bn")(x)
+        return get_activation(self.act)(x)
+
+
+class LinearAddBlock(nn.Module):
+    """CSLA/RepScale block: scale_conv*conv3x3 + scale_1x1*conv1x1
+    (+ scale_identity*x), then BN+ReLU (reference common.py:1650-1678).
+    Training this topology yields the per-channel scales the RepOptimizer
+    consumes (models/optimizers/RepOptimizer.py:18-29)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    act: Any = "relu"
+    deploy: bool = False
+    conv_scale_init: float = 1.0
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        init = lambda v: (lambda key, shape, dtype=jnp.float32:
+                          jnp.full(shape, v, dtype))
+        y = nn.Conv(self.c2, (3, 3), (self.s, self.s),
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        sc = self.param("scale_conv", init(self.conv_scale_init), (self.c2,))
+        y = y * sc.astype(y.dtype)
+        y1 = nn.Conv(self.c2, (1, 1), (self.s, self.s), padding="VALID",
+                     use_bias=False, dtype=self.dtype, name="conv_1x1")(x)
+        s1 = self.param("scale_1x1", init(self.conv_scale_init), (self.c2,))
+        y = y + y1 * s1.astype(y.dtype)
+        if c1 == self.c2 and self.s == 1:
+            si = self.param("scale_identity", init(1.0), (self.c2,))
+            y = y + x * si.astype(y.dtype)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3,
+                         axis_name=self.axis_name if train else None,
+                         dtype=self.dtype, name="bn")(y)
+        return get_activation(self.act)(y)
+
+
+VGG_BLOCKS = {
+    "repvgg": RepVGGBlock,
+    "realvgg": RealVGGBlock,
+    "linearadd": LinearAddBlock,
+    # QARepVGG shares the RepVGG train topology here (its delta is the
+    # BN placement for quantization friendliness; fusion path identical)
+    "qarep": RepVGGBlock,
+}

@@ -34,8 +34,8 @@ class YoloV6Neck(nn.Module):
             d(n) for n in spec.neck_num_repeats
         ]
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
-        rep = dict(deploy=spec.deploy, dtype=self.dtype,
-                   axis_name=self.axis_name)
+        rep = dict(deploy=spec.deploy, block_type=spec.vgg_block_type,
+                   dtype=self.dtype, axis_name=self.axis_name)
 
         x2, x1, x0 = inputs
         fpn_out0 = SimConv(cl[6], 1, 1, name="reduce_layer0", **kw)(x0, train)

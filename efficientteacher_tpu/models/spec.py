@@ -45,6 +45,7 @@ class ModelSpec:
     backbone_out_channels: Tuple[int, ...] = (64, 128, 256, 512, 1024)
     train_domain: bool = False
     deploy: bool = False
+    vgg_block_type: str = "repvgg"
 
     @property
     def nl(self) -> int:
@@ -95,4 +96,10 @@ def spec_from_cfg(cfg) -> ModelSpec:
         neck_num_repeats=tuple(int(n) for n in m.Neck.num_repeats),
         backbone_out_channels=tuple(int(c) for c in m.Backbone.out_channels),
         train_domain=bool(cfg.SSOD.train_domain),
+        vgg_block_type=(
+            "realvgg" if cfg.Model.RealVGGModel
+            else "linearadd" if cfg.Model.LinearAddModel
+            else "qarep" if cfg.Model.QARepVGGModel
+            else "repvgg"
+        ),
     )

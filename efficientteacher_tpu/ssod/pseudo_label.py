@@ -127,3 +127,85 @@ def create_pseudo_labels(
     return PseudoLabels(
         labels=labels, mask=keep, invalid=~jnp.any(keep)
     )
+
+
+def _class_agnostic_merge(dets, valids, max_pl: int, iou_thres: float):
+    """Merge per-teacher (B, D, 8) detection sets: re-sort by conf and
+    class-agnostic re-NMS (reference multi-teacher merge,
+    utils/self_supervised_utils.py:249-313)."""
+    from .. import ops  # noqa: F401  (docs pointer)
+    from ..ops.nms import greedy_nms_keep
+    from .pseudo_label import PseudoLabels  # self-import safe
+
+    merged = jnp.concatenate(dets, axis=1)    # (B, D_total, 8)
+    vmerged = jnp.concatenate(valids, axis=1)
+
+    def one(det, valid):
+        score = jnp.where(valid, det[:, 4], -1.0)
+        d = det.shape[0]
+        k = max(128, 1 << (d - 1).bit_length())
+        order = jnp.argsort(-score)
+        det_s = det[order]
+        valid_s = score[order] > 0
+        pad = k - d
+        if pad:
+            det_s = jnp.pad(det_s, ((0, pad), (0, 0)))
+            valid_s = jnp.pad(valid_s, (0, pad))
+        keep = greedy_nms_keep(det_s[:, :4], valid_s, iou_thres,
+                               tile=min(256, k))
+        slots = jnp.cumsum(keep) - 1
+        slots = jnp.where(keep, slots, k)
+        out = jnp.zeros((max_pl, det.shape[-1]), det.dtype)
+        out = out.at[jnp.clip(slots, 0, max_pl - 1)].set(
+            jnp.where((keep & (slots < max_pl))[:, None], det_s, 0.0),
+            mode="drop",
+        )
+        n = jnp.minimum(keep.sum(), max_pl)
+        return out, jnp.arange(max_pl) < n
+
+    return jax.vmap(one)(merged, vmerged)
+
+
+def create_pseudo_labels_multi(
+    teacher_decoded_list,
+    class_maps,
+    m_s: jnp.ndarray,
+    *,
+    img_size: int,
+    nc: int,
+    conf_thres: float = 0.3,
+    iou_thres: float = 0.6,
+    max_pl: int = 100,
+    multi_label: bool = False,
+) -> PseudoLabels:
+    """Multi-teacher FairPseudoLabel (reference self_supervised_utils.py:
+    249-313): each teacher's decoded predictions are NMS'd separately, the
+    extra teachers' class indices remapped into the main class space
+    (class_maps[i]: (nc_i,) int32, -1 drops the class), then all sets merge
+    under a class-agnostic re-NMS before the usual M-warp.
+
+    teacher_decoded_list[0] is the main (EMA) teacher; class_maps[0] may be
+    None (identity)."""
+    dets, valids = [], []
+    for t, (decoded, cmap) in enumerate(zip(teacher_decoded_list, class_maps)):
+        nc_t = decoded.shape[-1] - 5
+        out = batched_nms(
+            decoded, nc=nc_t, conf_thres=conf_thres, iou_thres=iou_thres,
+            multi_label=multi_label, max_det=max_pl, max_nms=2048, ssod=True,
+        )
+        det, valid = out.detections, out.valid
+        if cmap is not None:
+            cmap = jnp.asarray(cmap, jnp.int32)
+            cls = det[..., 5].astype(jnp.int32)
+            new_cls = cmap[jnp.clip(cls, 0, cmap.shape[0] - 1)]
+            valid = valid & (new_cls >= 0)
+            det = det.at[..., 5].set(new_cls.astype(det.dtype))
+        dets.append(det)
+        valids.append(valid)
+
+    merged, mvalid = _class_agnostic_merge(dets, valids, max_pl, iou_thres)
+    labels, keep = jax.vmap(
+        functools.partial(_warp_one_image, img_size=float(img_size))
+    )(merged, mvalid, m_s)
+    labels = jnp.where(keep[..., None], labels, 0.0)
+    return PseudoLabels(labels=labels, mask=keep, invalid=~jnp.any(keep))
