@@ -111,9 +111,13 @@ def get_hash(paths: List[str]) -> str:
     return h.hexdigest()
 
 
-def verify_image_label(img_file: str, label_file: Optional[str], nc: int):
+def verify_image_label(img_file: str, label_file: Optional[str], nc: int,
+                       num_keypoints: int = 0):
     """Validate one image/label pair (reference verify_image_label,
-    datasets.py:1520-…). Returns (labels (N,5) float32, (w, h)) or None."""
+    datasets.py:1520-…). Returns (labels (N, 5+2*np) float32, (w, h)) or
+    None. Keypoint columns follow the box (normalized x y per point;
+    negatives mark invisible points)."""
+    ncol = 5 + 2 * num_keypoints
     try:
         img = cv2.imread(img_file)
         if img is None:
@@ -125,19 +129,23 @@ def verify_image_label(img_file: str, label_file: Optional[str], nc: int):
             rows = []
             for line in Path(label_file).read_text().splitlines():
                 vals = line.split()
-                if len(vals) >= 5:
-                    rows.append([float(v) for v in vals[:5]])
-            lb = np.array(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
+                if len(vals) >= ncol:
+                    rows.append([float(v) for v in vals[:ncol]])
+                elif len(vals) >= 5:
+                    rows.append([float(v) for v in vals[:5]]
+                                + [-1.0] * (2 * num_keypoints))
+            lb = (np.array(rows, np.float32) if rows
+                  else np.zeros((0, ncol), np.float32))
             if len(lb):
                 ok = (
                     (lb[:, 0] >= 0) & (lb[:, 0] < nc)
-                    & (lb[:, 1:] >= 0).all(1) & (lb[:, 1:] <= 1).all(1)
+                    & (lb[:, 1:5] >= 0).all(1) & (lb[:, 1:5] <= 1).all(1)
                 )
                 lb = lb[ok]
                 _, idx = np.unique(lb, axis=0, return_index=True)
                 lb = lb[np.sort(idx)]  # dedup, keep order
         else:
-            lb = np.zeros((0, 5), np.float32)
+            lb = np.zeros((0, ncol), np.float32)
         return lb, (w, h)
     except Exception:
         return None
@@ -159,7 +167,9 @@ class LoadImagesAndLabels:
         cache_dir: Optional[str] = None,
         seed: int = 0,
         cache_images: bool = False,
+        num_keypoints: int = 0,
     ):
+        self.num_keypoints = num_keypoints
         self.img_size = img_size
         self.hyp = dict(hyp or {})
         self.augment = augment
@@ -193,7 +203,7 @@ class LoadImagesAndLabels:
             Path(cache_dir or Path(self.label_files[0]).parent)
             / (Path(self.img_files[0]).parent.name + ".cache.npy")
         )
-        h = get_hash(self.label_files + self.img_files)
+        h = get_hash(self.label_files + self.img_files + [str(self.num_keypoints)])
         cache = None
         if cache_path.is_file():
             try:
@@ -205,7 +215,7 @@ class LoadImagesAndLabels:
         if cache is None:
             labels, shapes, keep = [], [], []
             for i, (imf, lbf) in enumerate(zip(self.img_files, self.label_files)):
-                out = verify_image_label(imf, lbf, self.nc)
+                out = verify_image_label(imf, lbf, self.nc, self.num_keypoints)
                 if out is None:
                     continue
                 keep.append(i)
@@ -258,9 +268,11 @@ class LoadImagesAndLabels:
         return out
 
     def _labels_xyxy_pixels(self, i: int, ratio_w, ratio_h, padw, padh):
-        """Normalized xywh -> pixel xyxy in the (resized+padded) frame."""
+        """Normalized xywh -> pixel xyxy in the (resized+padded) frame.
+        Keypoint columns (if any) follow in pixel space, invisible = -1."""
         lb = self.labels[i]
-        out = np.zeros((len(lb), 5), np.float32)
+        npk = self.num_keypoints
+        out = np.zeros((len(lb), 5 + 2 * npk), np.float32)
         if len(lb):
             out[:, 0] = lb[:, 0]
             cx, cy, w, h = lb[:, 1] * ratio_w, lb[:, 2] * ratio_h, \
@@ -269,6 +281,12 @@ class LoadImagesAndLabels:
             out[:, 2] = cy - h / 2 + padh
             out[:, 3] = cx + w / 2 + padw
             out[:, 4] = cy + h / 2 + padh
+            for k in range(npk):
+                visible = lb[:, 5 + 2 * k] >= 0
+                out[:, 5 + 2 * k] = np.where(
+                    visible, lb[:, 5 + 2 * k] * ratio_w + padw, -1.0)
+                out[:, 6 + 2 * k] = np.where(
+                    visible, lb[:, 6 + 2 * k] * ratio_h + padh, -1.0)
         return out
 
     # -- sample pipelines ----------------------------------------------------
@@ -346,9 +364,10 @@ class LoadImagesAndLabels:
         return img, labels, mask, shapes
 
     def pack_labels(self, targets_xyxy: np.ndarray, w: int, h: int):
-        """Pixel xyxy -> padded normalized (M, 5) [cls, cx, cy, bw, bh]."""
+        """Pixel xyxy -> padded normalized (M, 5+2*np) [cls, cxywh, kps]."""
         m = self.max_targets
-        labels = np.zeros((m, 5), np.float32)
+        npk = self.num_keypoints
+        labels = np.zeros((m, 5 + 2 * npk), np.float32)
         mask = np.zeros((m,), bool)
         n = min(len(targets_xyxy), m)
         if n:
@@ -358,6 +377,13 @@ class LoadImagesAndLabels:
             labels[:n, 2] = ((t[:, 2] + t[:, 4]) / 2) / h
             labels[:n, 3] = (t[:, 3] - t[:, 1]) / w
             labels[:n, 4] = (t[:, 4] - t[:, 2]) / h
+            for k in range(npk):
+                if t.shape[1] > 5 + 2 * k:
+                    vis = t[:, 5 + 2 * k] >= 0
+                    labels[:n, 5 + 2 * k] = np.where(vis, t[:, 5 + 2 * k] / w,
+                                                     -1.0)
+                    labels[:n, 6 + 2 * k] = np.where(vis, t[:, 6 + 2 * k] / h,
+                                                     -1.0)
             mask[:n] = True
         return labels, mask
 
@@ -484,6 +510,7 @@ def create_dataloader(cfg, split: str = "train", augment: Optional[bool] = None,
         single_cls=cfg.single_cls,
         seed=seed,
         cache_images=bool(cfg.cache),
+        num_keypoints=int(cfg.Dataset.np),
     )
     return BatchLoader(
         ds,

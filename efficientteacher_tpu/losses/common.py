@@ -51,3 +51,21 @@ def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-9):
     Matches torch `.mean()` over a filtered ragged tensor."""
     mask = mask.astype(x.dtype)
     return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), eps)
+
+
+def wing_loss(pred: jnp.ndarray, target: jnp.ndarray, w: float = 10.0,
+              e: float = 2.0) -> jnp.ndarray:
+    """Elementwise Wing loss for landmark regression
+    (reference models/loss/loss.py:573-595, arXiv:1711.06753)."""
+    c = w - w * jnp.log(1.0 + w / e)
+    d = jnp.abs(pred - target)
+    return jnp.where(d < w, w * jnp.log(1.0 + d / e), d - c)
+
+
+def landmarks_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                   mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked-mean wing loss over visible keypoint coordinates
+    (reference LandmarksLossYolov5, loss.py:436-445)."""
+    m = mask.astype(pred.dtype)
+    losses = wing_loss(pred * m, target * m)
+    return jnp.sum(losses) / (jnp.sum(m) + 1e-13)

@@ -28,7 +28,13 @@ import numpy as np
 
 from ..assigners.yolo_anchor import DenseAssignment, assign_all_scales
 from ..ops.boxes import bbox_iou
-from .common import bce_with_logits, focal_bce_with_logits, masked_mean, smooth_bce
+from .common import (
+    bce_with_logits,
+    focal_bce_with_logits,
+    landmarks_loss,
+    masked_mean,
+    smooth_bce,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +52,8 @@ class YoloV5LossConfig:
     single_targets: bool = False
     gr: float = 1.0
     balance: Tuple[float, ...] = (4.0, 1.0, 0.4)
+    num_keypoints: int = 0
+    kp_w: float = 10.0
 
     @classmethod
     def from_cfg(cls, cfg, nl: int = 3):
@@ -63,6 +71,8 @@ class YoloV5LossConfig:
             fl_gamma=float(cfg.Loss.fl_gamma),
             label_smoothing=float(cfg.Loss.label_smoothing),
             single_targets=bool(cfg.Loss.single_targets),
+            num_keypoints=int(cfg.Dataset.np),
+            kp_w=float(cfg.Loss.kp_loss_weight),
         )
 
 
@@ -111,6 +121,8 @@ def compute_loss(
     lbox = 0.0
     lobj = 0.0
     lcls = 0.0
+    lmark = 0.0
+    npk = lc.num_keypoints
     for i, (p, asn) in enumerate(zip(preds, assignments)):
         p = p.astype(jnp.float32)
         b, ny, nx, na, no = p.shape
@@ -134,6 +146,29 @@ def compute_loss(
         obji = jnp.mean(_bce(obj_logits, tobj, lc.obj_pw, lc.fl_gamma))
         lobj = lobj + obji * lc.balance[i]
 
+        # keypoints: wing loss on anchor-scaled offsets vs cell-relative
+        # targets (reference loss.py:175-179; targets ride in asn.extra as
+        # normalized coords * grid - cell, see assigner keypoint docs)
+        if npk > 0:
+            ny_, nx_ = p.shape[1], p.shape[2]
+            gain = jnp.array([nx_, ny_], jnp.float32)
+            kp_t = asn.extra[..., : 2 * npk].reshape(
+                asn.extra.shape[0], asn.extra.shape[1], npk, 2
+            ) * gain
+            # cell origin = gxy - txy (gxy = txy + cell index)
+            # recover cell index from flat_cell
+            na_ = p.shape[3]
+            cell_flat = asn.flat_cell // na_
+            gi = (cell_flat % nx_).astype(jnp.float32)
+            gj = (cell_flat // nx_).astype(jnp.float32)
+            cell_xy = jnp.stack([gi, gj], -1)[:, :, None, :]
+            kp_rel = kp_t - cell_xy
+            visible = (asn.extra[..., : 2 * npk].reshape(kp_t.shape) > 0)
+            visible = visible & asn.valid[:, :, None, None]
+            pk = ps[..., 5 + lc.nc :].reshape(kp_t.shape)
+            pk = pk * asn.anchor_wh[:, :, None, :]
+            lmark = lmark + landmarks_loss(pk, kp_rel, visible)
+
         # classification (only when multi-class)
         if lc.nc > 1:
             tcls_onehot = jax.nn.one_hot(asn.tcls, lc.nc, dtype=jnp.float32)
@@ -147,5 +182,12 @@ def compute_loss(
     lbox = lbox * lc.box_w
     lobj = lobj * lc.obj_w
     lcls = lcls * lc.cls_w
-    loss = (lbox + lobj + lcls) * bs
-    return loss, {"box": lbox, "obj": lobj, "cls": lcls, "loss": loss}
+    parts = {"box": lbox, "obj": lobj, "cls": lcls}
+    total = lbox + lobj + lcls
+    if lc.num_keypoints > 0:
+        lmark = lmark * lc.kp_w
+        parts["kp"] = lmark
+        total = total + lmark
+    loss = total * bs
+    parts["loss"] = loss
+    return loss, parts

@@ -102,7 +102,8 @@ class YoloV5Detect(nn.Module):
         """
         nc = self.nc
         npk = self.spec.num_keypoints
-        no = nc + npk + 5
+        # coherent channel count: 2 coords per keypoint (see yolov7 note)
+        no = nc + 2 * npk + 5
         anchors = self.anchors_px
         nl, na = anchors.shape[0], anchors.shape[1]
         assert len(feats) == nl

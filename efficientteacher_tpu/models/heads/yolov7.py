@@ -40,7 +40,10 @@ class YoloV7Detect(nn.Module):
                  decode: bool | None = None):
         spec = self.spec
         nc = spec.nc
-        no = nc + spec.num_keypoints + 5
+        # the reference declares no = nc + np + 5 (yolov5_head.py:22)
+        # but its own loss reads 2 coords per keypoint
+        # (loss.py:175-179); we emit the coherent channel count
+        no = nc + 2 * spec.num_keypoints + 5
         anchors = self.anchors_px
         na = anchors.shape[1]
 
