@@ -109,19 +109,18 @@ class NMSOutput(NamedTuple):
     valid: jnp.ndarray       # (B, max_det) bool
 
 
-def _single_image_nms(
+def _prep_candidates(
     pred: jnp.ndarray,
     nc: int,
     conf_thres: float,
-    iou_thres: float,
     multi_label: bool,
     agnostic: bool,
     max_nms: int,
-    max_det: int,
     ssod: bool,
     tile: int,
 ):
-    """One image of raw predictions (N, 5+nc) xywh+obj+cls -> fixed detections."""
+    """One image of raw predictions (N, 5+nc) -> score-sorted padded
+    candidate rows + offset boxes for suppression."""
     obj = pred[:, 4]
     clsp = pred[:, 5 : 5 + nc]
     boxes_xyxy = xywh2xyxy(pred[:, :4])
@@ -170,19 +169,19 @@ def _single_image_nms(
 
     offset = jnp.where(agnostic, 0.0, MAX_WH)
     nms_boxes = cand_boxes + (cls * offset)[:, None]
-    keep = greedy_nms_keep(nms_boxes, cand_valid, iou_thres, tile=tile)
 
     cols = [cand_boxes, top_scores[:, None], cls[:, None]]
     if ssod:
         cols += [extra[0][:, None], extra[1][:, None]]
     rows = jnp.concatenate(cols, axis=-1)
-    return _compact_keep(rows, keep, max_det)
+    return nms_boxes, cand_valid, rows
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nc", "multi_label", "agnostic", "max_nms", "max_det", "ssod", "tile",
+        "nc", "conf_thres", "iou_thres", "multi_label", "agnostic",
+        "max_nms", "max_det", "ssod", "tile", "use_pallas",
     ),
 )
 def batched_nms(
@@ -197,6 +196,7 @@ def batched_nms(
     max_det: int = 300,
     ssod: bool = False,
     tile: int = 256,
+    use_pallas: bool | None = None,
 ) -> NMSOutput:
     """Batched NMS over raw decoded predictions (B, N, 5+nc).
 
@@ -207,19 +207,33 @@ def batched_nms(
                     (reference non_max_suppression_ssod, general.py:887)
     """
     prediction = prediction.astype(jnp.float32)
-    fn = functools.partial(
-        _single_image_nms,
+    prep = functools.partial(
+        _prep_candidates,
         nc=nc,
         conf_thres=conf_thres,
-        iou_thres=iou_thres,
         multi_label=multi_label,
         agnostic=agnostic,
         max_nms=max_nms,
-        max_det=max_det,
         ssod=ssod,
         tile=tile,
     )
-    dets, valid = jax.vmap(fn)(prediction)
+    nms_boxes, cand_valid, rows = jax.vmap(prep)(prediction)
+    k = nms_boxes.shape[1]
+    eff_tile = min(tile, k)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .nms_pallas import greedy_nms_keep_pallas
+
+        keep = greedy_nms_keep_pallas(nms_boxes, cand_valid, iou_thres,
+                                      tile=eff_tile)
+    else:
+        keep = jax.vmap(
+            lambda b, v: greedy_nms_keep(b, v, iou_thres, tile=eff_tile)
+        )(nms_boxes, cand_valid)
+    dets, valid = jax.vmap(
+        functools.partial(_compact_keep, max_det=max_det)
+    )(rows, keep)
     return NMSOutput(dets, valid)
 
 
