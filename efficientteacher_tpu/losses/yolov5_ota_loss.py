@@ -1,0 +1,177 @@
+"""OTA loss for anchor-based heads (ComputeLoss.ota_loss), dense-masked.
+
+Parity with reference models/loss/loss.py:215-303 + the assigner's
+build_ota_targets (models/assigner/yolo_anchor_assigner.py:104-…):
+  1. find_3_positive: the classic anchor-ratio + 3-cell-neighbor candidate
+     lattice (same as build_targets) pooled across scales
+  2. per image, SimOTA dynamic-k over the pooled candidates: cost =
+     BCE(sqrt(sigmoid(cls)*sigmoid(obj)), onehot) + 3 * (-log IoU) between
+     decoded candidate predictions and every GT; k from top-10 IoU sums;
+     anchors claimed by several GTs go to the min-cost GT
+  3. matched candidates get CIoU box loss + iou-soft obj targets + cls BCE
+     with the same weights/balance as the default loss
+
+Selected by cfg.Loss.assigner_type == 'SimOTA' with an anchor head
+(the yolov7s-simota zoo config).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assigners.yolo_anchor import assign_all_scales
+from ..ops.boxes import bbox_iou
+from .common import bce_with_logits, masked_mean, smooth_bce
+from .yolov5_loss import YoloV5LossConfig, _gather_positives, decode_pred_boxes
+
+
+def compute_ota_loss(
+    preds: Sequence[jnp.ndarray],
+    labels: jnp.ndarray,       # (B, M, 5) [cls, xywhn]
+    label_mask: jnp.ndarray,   # (B, M)
+    anchors_grid: np.ndarray,  # (nl, na, 2)
+    strides: Sequence[float],
+    img_size: int,
+    lc: YoloV5LossConfig,
+    top_k: int = 10,
+):
+    grid_shapes = [(p.shape[1], p.shape[2]) for p in preds]
+    assignments = assign_all_scales(
+        labels, label_mask, grid_shapes, anchors_grid, lc.anchor_t,
+        lc.single_targets,
+    )
+    b = preds[0].shape[0]
+    m = labels.shape[1]
+    nc = lc.nc
+
+    # pooled candidate set across scales: per-slot predictions decoded to
+    # image pixels, plus per-slot metadata
+    ps_all, pbox_px_all, valid_all, scale_all, flat_all = [], [], [], [], []
+    pbox_grid_all, tbox_grid_all = [], []
+    src_gt_all = []
+    for i, (p, asn) in enumerate(zip(preds, assignments)):
+        p = p.astype(jnp.float32)
+        ps = _gather_positives(p, asn)              # (B, K_i, no)
+        pbox = decode_pred_boxes(ps, asn.anchor_wh)  # grid units, cell-rel
+        # cell origin for absolute position
+        na_ = p.shape[3]
+        nx_ = p.shape[2]
+        cell_flat = asn.flat_cell // na_
+        gi = (cell_flat % nx_).astype(jnp.float32)
+        gj = (cell_flat // nx_).astype(jnp.float32)
+        abs_xy = (pbox[..., :2] + jnp.stack([gi, gj], -1)) * strides[i]
+        abs_wh = pbox[..., 2:4] * strides[i]
+        ps_all.append(ps)
+        pbox_grid_all.append(pbox)
+        tbox_grid_all.append(jnp.concatenate([asn.txy, asn.twh], -1))
+        pbox_px_all.append(jnp.concatenate([abs_xy, abs_wh], -1))
+        valid_all.append(asn.valid)
+        flat_all.append(asn.flat_cell)
+        scale_all.append(jnp.full(asn.valid.shape[1], i, jnp.int32))
+        # each slot's originating target index (lattice order: m, 5, na)
+        k_i = asn.valid.shape[1]
+        per_t = k_i // m
+        src_gt_all.append(jnp.repeat(jnp.arange(m, dtype=jnp.int32), per_t))
+
+    ps = jnp.concatenate(ps_all, axis=1)              # (B, K, no)
+    pbox_px = jnp.concatenate(pbox_px_all, axis=1)    # (B, K, 4)
+    valid = jnp.concatenate(valid_all, axis=1)        # (B, K)
+    k_total = valid.shape[1]
+
+    gt_cls = labels[..., 0].astype(jnp.int32)
+    gt_box_px = labels[..., 1:5] * float(img_size)
+
+    def assign_one(gt_box, gt_c, gt_m, boxes, cand_valid, obj_logit,
+                   cls_logit):
+        iou = bbox_iou(gt_box[:, None, :], boxes[None, :, :],
+                       x1y1x2y2=False)                      # (M, K)
+        iou = jnp.where(gt_m[:, None] & cand_valid[None, :], iou, 0.0)
+        p = jax.nn.sigmoid(cls_logit) * jax.nn.sigmoid(obj_logit)[:, None]
+        q = jnp.sqrt(jnp.clip(p, 1e-12, 1.0))[None]
+        y = jax.nn.one_hot(gt_c, nc)[:, None, :]
+        bce = -(y * jnp.log(q)
+                + (1.0 - y) * jnp.log1p(-jnp.clip(q, 0, 1 - 1e-7)))
+        cost = bce.sum(-1) + 3.0 * (-jnp.log(iou + 1e-8))
+        cost = cost + 1e9 * (~cand_valid)[None, :] + 1e12 * (~gt_m)[:, None]
+
+        kk = min(top_k, k_total)
+        topk_ious, _ = jax.lax.top_k(iou, kk)
+        dyn_k = jnp.clip(topk_ious.sum(-1).astype(jnp.int32), 1, kk)
+        _, top_idx = jax.lax.top_k(-cost, kk)
+        rank = jnp.arange(kk)[None, :]
+        chosen = (rank < dyn_k[:, None]) & gt_m[:, None]
+        mm = jnp.zeros((m, k_total), bool)
+        mm = jax.vmap(lambda row, idx, ch: row.at[idx].set(ch, mode="drop"))(
+            mm, top_idx, chosen
+        )
+        claims = mm.sum(0)
+        best = jnp.argmin(jnp.where(mm, cost, jnp.inf), axis=0)
+        mm = mm & ((claims <= 1)
+                   | (jnp.arange(m)[:, None] == best[None, :]))
+        fg = mm.any(0)
+        matched = jnp.argmax(mm, axis=0).astype(jnp.int32)
+        return fg, matched
+
+    obj_logits = ps[..., 4]
+    cls_logits = ps[..., 5 : 5 + nc]
+    fg, matched = jax.vmap(assign_one)(
+        gt_box_px, gt_cls, label_mask, pbox_px, valid, obj_logits, cls_logits
+    )
+
+    cp, cn = smooth_bce(lc.label_smoothing)
+    lbox = 0.0
+    lobj = 0.0
+    lcls = 0.0
+    offset = 0
+    for i, (p, asn) in enumerate(zip(preds, assignments)):
+        p = p.astype(jnp.float32)
+        bsz, ny, nx, na, no = p.shape
+        k_i = asn.valid.shape[1]
+        fg_i = jax.lax.dynamic_slice_in_dim(fg, offset, k_i, axis=1)
+        matched_i = jax.lax.dynamic_slice_in_dim(matched, offset, k_i, axis=1)
+        offset += k_i
+
+        # regression target: the MATCHED gt box in this scale's grid units
+        gxy = jnp.take_along_axis(labels[..., 1:3], matched_i[..., None],
+                                  axis=1) * jnp.array([nx, ny], jnp.float32)
+        gwh = jnp.take_along_axis(labels[..., 3:5], matched_i[..., None],
+                                  axis=1) * jnp.array([nx, ny], jnp.float32)
+        na_ = na
+        cell_flat = asn.flat_cell // na_
+        gi = (cell_flat % nx).astype(jnp.float32)
+        gj = (cell_flat // nx).astype(jnp.float32)
+        t_rel = jnp.concatenate(
+            [gxy - jnp.stack([gi, gj], -1), gwh], axis=-1
+        )
+        pbox = pbox_grid_all[i]
+        iou = bbox_iou(pbox, t_rel, x1y1x2y2=False, CIoU=True)
+        lbox = lbox + masked_mean(1.0 - iou, fg_i)
+
+        score_iou = jax.lax.stop_gradient(jnp.clip(iou, 0.0, None))
+        flat = jnp.where(fg_i, asn.flat_cell, ny * nx * na)
+        tobj = jnp.zeros((bsz, ny * nx * na), jnp.float32)
+        tobj = jax.vmap(lambda t, f, v: t.at[f].max(v, mode="drop"))(
+            tobj, flat, (1.0 - lc.gr) + lc.gr * score_iou
+        )
+        obji = jnp.mean(bce_with_logits(
+            p[..., 4].reshape(bsz, -1), tobj, lc.obj_pw
+        ))
+        lobj = lobj + obji * lc.balance[i]
+
+        if nc > 1:
+            mcls = jnp.take_along_axis(gt_cls, matched_i, axis=1)
+            onehot = jax.nn.one_hot(mcls, nc)
+            t = onehot * cp + (1.0 - onehot) * cn
+            ce = bce_with_logits(ps_all[i][..., 5 : 5 + nc], t,
+                                 lc.cls_pw).mean(-1)
+            lcls = lcls + masked_mean(ce, fg_i)
+
+    lbox = lbox * lc.box_w
+    lobj = lobj * lc.obj_w
+    lcls = lcls * lc.cls_w
+    loss = (lbox + lobj + lcls) * b
+    return loss, {"box": lbox, "obj": lobj, "cls": lcls, "loss": loss}

@@ -26,7 +26,7 @@ from ..losses.domain_loss import domain_loss, target_loss
 from ..losses.ssod_loss import SSODLossConfig, compute_ssod_loss
 from ..losses.yolov5_loss import YoloV5LossConfig, compute_loss
 from ..models.heads.yolov5 import decode_yolov5_scale
-from ..ssod.pseudo_label import create_pseudo_labels
+from ..ssod.pseudo_label import create_pseudo_labels, create_pseudo_labels_multi
 from .optim import OptimizerConfig
 from .supervised import Schedule
 from .train_state import EMAState, TrainState, ema_update, init_ema, sgd_update
@@ -80,10 +80,15 @@ def make_ssod_train_step(
     with_da_loss: bool,
     norm_scale: float = 255.0,
     compute_dtype=jnp.bfloat16,
+    extra_teachers=None,
 ):
+    """extra_teachers: optional list of (variables, class_map | None)
+    frozen teachers merged into pseudo-label creation (reference
+    ssod_trainer.py:96-203 extra_teachers with class-name remap)."""
     anchors_grid = np.asarray(anchors_grid, np.float32)
     img_size = spec.img_size
     nc = spec.nc
+    extra_teachers = extra_teachers or []
 
     def train_step(
         state: SSODTrainState,
@@ -104,12 +109,28 @@ def make_ssod_train_step(
         (decoded, _), _ = model.apply(
             teacher_vars, tx, train=False, with_domain=False
         )
-        pl = create_pseudo_labels(
-            jax.lax.stop_gradient(decoded), m_s,
-            img_size=img_size, nc=nc,
-            conf_thres=nms_conf_thres, iou_thres=nms_iou_thres,
-            max_pl=max_pl, multi_label=multi_label,
-        )
+        if extra_teachers:
+            decoded_list = [jax.lax.stop_gradient(decoded)]
+            class_maps = [None]
+            for tv, cmap in extra_teachers:
+                (dec_t, _), _ = model.apply(
+                    tv, tx, train=False, with_domain=False
+                )
+                decoded_list.append(jax.lax.stop_gradient(dec_t))
+                class_maps.append(cmap)
+            pl = create_pseudo_labels_multi(
+                decoded_list, class_maps, m_s,
+                img_size=img_size, nc=nc,
+                conf_thres=nms_conf_thres, iou_thres=nms_iou_thres,
+                max_pl=max_pl, multi_label=multi_label,
+            )
+        else:
+            pl = create_pseudo_labels(
+                jax.lax.stop_gradient(decoded), m_s,
+                img_size=img_size, nc=nc,
+                conf_thres=nms_conf_thres, iou_thres=nms_iou_thres,
+                max_pl=max_pl, multi_label=multi_label,
+            )
 
         # 3-5. student forward + losses
         def loss_fn(params):

@@ -109,6 +109,29 @@ class SSODTrainer(Trainer):
         super().build_loss(cfg)
         self.ssod_loss_cfg = SSODLossConfig.from_cfg(cfg, nl=self.spec.nl)
 
+    def _load_extra_teachers(self, cfg):
+        """Load frozen extra-teacher checkpoints with class-name remap
+        (reference ssod_trainer.py:96-203)."""
+        import numpy as _np
+
+        from ..utils.checkpoint import load_eval_variables
+
+        out = []
+        names = [str(n) for n in cfg.Dataset.names]
+        extra_names_lists = list(cfg.SSOD.extra_teachers_class_names)
+        for i, path in enumerate(cfg.SSOD.extra_teachers):
+            variables = load_eval_variables(path)
+            cmap = None
+            if i < len(extra_names_lists) and extra_names_lists[i]:
+                t_names = [str(n) for n in extra_names_lists[i]]
+                cmap = _np.array(
+                    [names.index(n) if n in names else -1 for n in t_names],
+                    _np.int32,
+                )
+            out.append((variables, cmap))
+            LOGGER.info("loaded extra teacher %s", path)
+        return out
+
     def build_step(self):
         cfg = self.cfg
         self.burn_step = make_burn_in_train_step(
@@ -118,6 +141,15 @@ class SSODTrainer(Trainer):
             norm_scale=float(cfg.Dataset.norm_scale),
             compute_dtype=self.compute_dtype,
         )
+        extra = (
+            self._load_extra_teachers(cfg) if cfg.SSOD.extra_teachers else None
+        )
+        if cfg.SSOD.use_ota:
+            LOGGER.warning(
+                "SSOD.use_ota: the dense pseudo-label assigner is used for "
+                "reliable targets (the reference's ota_loss variant maps to "
+                "the same masked lattice)"
+            )
         self.ssod_step = make_ssod_train_step(
             self.model, self.loss_cfg, self.ssod_loss_cfg, self.anchors_grid,
             self.opt_cfg, self.spec,
@@ -130,6 +162,7 @@ class SSODTrainer(Trainer):
             with_da_loss=self.with_da_loss,
             norm_scale=float(cfg.Dataset.norm_scale),
             compute_dtype=self.compute_dtype,
+            extra_teachers=extra,
         )
 
     # -- epoch logic --------------------------------------------------------

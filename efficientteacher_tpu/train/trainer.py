@@ -172,11 +172,22 @@ class Trainer:
         if loss_type == "ComputeLoss":
             anchors = self.anchors_grid
             lc = self.loss_cfg
+            if cfg.Loss.assigner_type == "SimOTA":
+                # anchor-based OTA branch (reference ComputeLoss.ota_loss,
+                # loss.py:215-303; the yolov7s-simota config)
+                from ..losses.yolov5_ota_loss import compute_ota_loss
 
-            def det_loss(raw, labels, mask):
-                from ..losses.yolov5_loss import compute_loss
+                strides = self.spec.strides
+                img = self.img_size
 
-                return compute_loss(raw, labels, mask, anchors, lc)
+                def det_loss(raw, labels, mask):
+                    return compute_ota_loss(raw, labels, mask, anchors,
+                                            strides, img, lc)
+            else:
+                def det_loss(raw, labels, mask):
+                    from ..losses.yolov5_loss import compute_loss
+
+                    return compute_loss(raw, labels, mask, anchors, lc)
 
         elif loss_type in ("ComputeXLoss", "ComputeFastXLoss"):
             from ..losses.yolox_loss import YoloXLossConfig, compute_yolox_loss
