@@ -15,6 +15,10 @@ def parse_opt():
     parser.add_argument("--conf-thres", type=float, default=0.001)
     parser.add_argument("--iou-thres", type=float, default=0.6)
     parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--save-json", type=str, default=None,
+                        help="write COCO-format predictions JSON")
+    parser.add_argument("--confusion", action="store_true",
+                        help="print the confusion matrix")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     return parser.parse_args()
 
@@ -51,13 +55,22 @@ def main(opt):
         variables = load_eval_variables(opt.weights)
     loader = create_dataloader(cfg, "val", augment=False,
                                batch_size=opt.batch_size)
-    results, maps, cls_thr = validator.run(
+    out = validator.run(
         model, variables, loader, nc=spec.nc,
         conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
+        save_json=opt.save_json, confusion=opt.confusion,
     )
-    print(
-        "P=%.4f R=%.4f mAP50=%.4f mAP50-95=%.4f" % results
-    )
+    results, maps, cls_thr = out[:3]
+    print("P=%.4f R=%.4f mAP50=%.4f mAP50-95=%.4f" % results)
+    if opt.confusion:
+        cm = out[3]
+        print("confusion matrix (pred x true):")
+        import numpy as np
+
+        with np.printoptions(precision=0, suppress=True):
+            print(cm.matrix)
+    if opt.save_json:
+        print(f"predictions JSON -> {opt.save_json}")
     return results
 
 
