@@ -151,3 +151,46 @@ class AutoShape:
                 )
             preds.append(det)
         return Detections(imgs0, preds, self.names)
+
+
+class Ensemble:
+    """Multi-checkpoint ensemble (reference models/backbone/experimental.py
+    Ensemble:110-128): averages the decoded prediction tensors of several
+    same-architecture models before NMS."""
+
+    def __init__(self, model, variables_list):
+        import jax
+        import jax.numpy as jnp
+
+        self._vars = list(variables_list)
+
+        @jax.jit
+        def fwd(vs, x):
+            outs = []
+            for v in vs:
+                decoded, _ = model.apply(v, x, train=False)
+                outs.append(decoded)
+            return jnp.mean(jnp.stack(outs), axis=0)
+
+        self._fwd = fwd
+
+    def __call__(self, x):
+        return self._fwd(self._vars, x)
+
+
+def attempt_load(weights, cfg, dtype=None):
+    """Load one or many checkpoints for inference, EMA-preferred; several
+    weights build an Ensemble (reference experimental.py:73-128)."""
+    import jax.numpy as jnp
+
+    from ..models import build_model
+    from ..models.spec import spec_from_cfg
+    from ..utils.checkpoint import load_eval_variables
+
+    spec = spec_from_cfg(cfg) if not hasattr(cfg, "nc") else cfg
+    model = build_model(spec, ssod=False, dtype=dtype or jnp.bfloat16)
+    paths = [weights] if isinstance(weights, (str, Path)) else list(weights)
+    variables = [load_eval_variables(p) for p in paths]
+    if len(variables) == 1:
+        return model, variables[0]
+    return model, Ensemble(model, variables)

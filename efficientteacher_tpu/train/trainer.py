@@ -156,6 +156,12 @@ class Trainer:
                                               batch_size=self.batch_size)
         self.dataset = self.train_loader.ds
         self.nb = len(self.train_loader)
+        try:  # label statistics plot (reference plot_labels at train start)
+            from ..utils.plots import plot_labels
+
+            plot_labels(self.dataset.labels, self.spec.nc, self.save_dir)
+        except Exception as e:  # plotting is never fatal
+            LOGGER.debug("plot_labels skipped: %s", e)
         self.val_loader = (
             create_dataloader(cfg, "val", augment=False,
                               batch_size=self.batch_size)
@@ -359,5 +365,12 @@ class Trainer:
             self.epochs - self.start_epoch, (time.time() - t0) / 3600,
             self.best_fitness,
         )
+        try:  # training curves (reference plot_results at train end)
+            from ..utils.plots import plot_results
+
+            if self.results_csv.exists():
+                plot_results(self.results_csv)
+        except Exception as e:
+            LOGGER.debug("plot_results skipped: %s", e)
         self.callbacks.run("on_train_end")
         return self.best_fitness
