@@ -183,9 +183,9 @@ def attempt_load(weights, cfg, dtype=None):
     weights build an Ensemble (reference experimental.py:73-128)."""
     import jax.numpy as jnp
 
-    from ..models import build_model
-    from ..models.spec import spec_from_cfg
     from ..utils.checkpoint import load_eval_variables
+    from .detector import build_model
+    from .spec import spec_from_cfg
 
     spec = spec_from_cfg(cfg) if not hasattr(cfg, "nc") else cfg
     model = build_model(spec, ssod=False, dtype=dtype or jnp.bfloat16)
