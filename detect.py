@@ -37,8 +37,7 @@ def main(opt):
     import numpy as np
 
     from efficientteacher_tpu.configs import get_cfg
-    from efficientteacher_tpu.data.augment import letterbox
-    from efficientteacher_tpu.data.datasets import parse_data_path
+    from efficientteacher_tpu.data.loaders import LoadImages
     from efficientteacher_tpu.eval.validator import _scale_to_native
     from efficientteacher_tpu.models import build_model
     from efficientteacher_tpu.models.spec import spec_from_cfg
@@ -76,10 +75,8 @@ def main(opt):
             iou_thres=opt.iou_thres, max_det=opt.max_det, max_nms=2048,
         )
 
-    for img_path, _ in parse_data_path(opt.source):
-        img0 = cv2.imread(img_path)
-        img, _, _ = letterbox(img0, opt.img_size, auto=False)
-        x = jnp.asarray(img[:, :, ::-1].copy())[None]
+    for img_path, rgb, img0, _ in LoadImages(opt.source, opt.img_size):
+        x = jnp.asarray(rgb)[None]
         out = infer(variables, x)
         det = np.asarray(out.detections)[0][np.asarray(out.valid)[0]]
         if len(det):
@@ -96,7 +93,8 @@ def main(opt):
                 bw = (xyxy[2] - xyxy[0]) / w0
                 bh = (xyxy[3] - xyxy[1]) / h0
                 lines.append(f"{int(cls)} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f} {conf:.4f}")
-            (save_dir / (Path(img_path).stem + ".txt")).write_text(
+            stem = Path(img_path.split("#")[0]).stem
+            (save_dir / (stem + ".txt")).write_text(
                 "\n".join(lines)
             )
         if not opt.nosave:
@@ -108,7 +106,8 @@ def main(opt):
                 label = f"{names[c] if c < len(names) else c} {conf:.2f}"
                 cv2.putText(img0, label, (int(xyxy[0]), int(xyxy[1]) - 4),
                             cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
-            cv2.imwrite(str(save_dir / Path(img_path).name), img0)
+            cv2.imwrite(str(save_dir / Path(img_path.split("#")[0]).name),
+                        img0)
     print(f"results saved to {save_dir}")
 
 

@@ -292,3 +292,48 @@ def vflip_labels(labels_xyxy: np.ndarray, height: int) -> np.ndarray:
     out[:, 2] = height - labels_xyxy[:, 4]
     out[:, 4] = height - labels_xyxy[:, 2]
     return out
+
+
+def copy_paste(img: np.ndarray, labels: np.ndarray, p: float = 0.5,
+               rng: Optional[random.Random] = None):
+    """Box-level copy-paste augmentation (reference augmentations.py:358-380;
+    the reference operates on segment polygons when present — without
+    segments this pastes horizontally-mirrored object patches at the
+    mirrored location when the IoA with existing boxes is low)."""
+    rng = rng or random
+    n = len(labels)
+    if p <= 0 or n == 0:
+        return img, labels
+    h, w = img.shape[:2]
+    new_rows = []
+    for row in labels[rng.sample(range(n), k=max(1, round(p * n)))]:
+        cls, x1, y1, x2, y2 = row[:5]
+        # mirrored destination box (reference flips the source polygon)
+        nx1, nx2 = w - x2, w - x1
+        box = np.array([nx1, y1, nx2, y2])
+        ioa = bbox_ioa_np(box, labels[:, 1:5])
+        if (ioa < 0.30).all():
+            xi1, yi1, xi2, yi2 = (int(v) for v in (x1, y1, x2, y2))
+            if xi2 - xi1 < 2 or yi2 - yi1 < 2:
+                continue
+            patch = img[yi1:yi2, xi1:xi2][:, ::-1]
+            di1, di2 = int(nx1), int(nx1) + patch.shape[1]
+            if di2 <= w:
+                img[yi1:yi1 + patch.shape[0], di1:di2] = patch
+                new = row.copy()
+                new[1], new[3] = nx1, nx2
+                new_rows.append(new)
+    if new_rows:
+        labels = np.concatenate([labels, np.stack(new_rows)], 0)
+    return img, labels
+
+
+def bbox_ioa_np(box1: np.ndarray, box2: np.ndarray,
+                eps: float = 1e-7) -> np.ndarray:
+    """Intersection over box2 area, numpy (reference metrics.py:277)."""
+    ix = (np.minimum(box1[2], box2[:, 2])
+          - np.maximum(box1[0], box2[:, 0])).clip(0)
+    iy = (np.minimum(box1[3], box2[:, 3])
+          - np.maximum(box1[1], box2[:, 1])).clip(0)
+    area2 = (box2[:, 2] - box2[:, 0]) * (box2[:, 3] - box2[:, 1]) + eps
+    return ix * iy / area2

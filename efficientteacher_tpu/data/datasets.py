@@ -36,6 +36,7 @@ import numpy as np
 
 from .augment import (
     augment_hsv,
+    copy_paste,
     hflip_labels,
     letterbox,
     mixup,
@@ -299,6 +300,9 @@ class LoadImagesAndLabels:
             imgs.append(img)
             lbs.append(self._labels_xyxy_pixels(i, w, h, 0, 0))
         canvas, merged = mosaic4(imgs, lbs, s, self.rng)
+        cp = self.hyp.get("copy_paste", 0.0)
+        if cp > 0 and len(merged):
+            canvas, merged = copy_paste(canvas, merged, cp, self.rng)
         border = (-s // 2, -s // 2)
         img, targets = random_perspective(
             canvas, merged,

@@ -59,3 +59,22 @@ def test_dir_balanced_sampler_round_robin():
     # directories alternate at the front
     dirs = ["a" if i < 8 else "b" for i in idx[:4]]
     assert "a" in dirs and "b" in dirs
+
+
+def test_copy_paste():
+    import numpy as np
+
+    from efficientteacher_tpu.data.augment import copy_paste
+
+    rng = random.Random(0)
+    img = np.full((100, 100, 3), 50, np.uint8)
+    img[20:40, 10:30] = 200  # object patch
+    labels = np.array([[0, 10, 20, 30, 40]], np.float32)
+    out_img, out_labels = copy_paste(img.copy(), labels.copy(), p=1.0,
+                                     rng=rng)
+    assert len(out_labels) >= len(labels)
+    if len(out_labels) > 1:
+        # pasted at the mirrored x location with same y band
+        row = out_labels[-1]
+        assert row[1] == 100 - labels[0][3]
+        assert out_img[25, int(row[1]) + 5].max() >= 190
