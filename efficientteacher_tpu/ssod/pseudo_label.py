@@ -95,7 +95,9 @@ def _warp_one_image(det, valid, m_s, img_size: float):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("img_size", "max_pl", "nc", "multi_label")
+    jax.jit,
+    static_argnames=("img_size", "max_pl", "nc", "multi_label",
+                     "conf_thres", "iou_thres"),
 )
 def create_pseudo_labels(
     teacher_decoded: jnp.ndarray,
