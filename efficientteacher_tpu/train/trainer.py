@@ -145,11 +145,41 @@ class Trainer:
             self._resume(cfg.weights)
 
     def _resume(self, weights):
+        """Full resume: params + BN stats + EMA + optimizer momentum + epoch
+        (reference trainer.py:159-186)."""
         ckpt = load_checkpoint(weights)
         meta = ckpt.get("meta", {})
         self.start_epoch = self.epoch = meta.get("epoch", -1) + 1
         self.best_fitness = meta.get("best_fitness", 0.0)
-        LOGGER.info("resumed at epoch %d", self.start_epoch)
+        cast = lambda t, like: jax.tree.map(
+            lambda s, p: jnp.asarray(np.asarray(s), p.dtype), t, like
+        )
+        st = self.state
+        new = {
+            "params": cast(ckpt["model"]["params"], st.params),
+            "batch_stats": cast(ckpt["model"]["batch_stats"], st.batch_stats),
+        }
+        updates = {}
+        if st.ema is not None and "ema" in ckpt:
+            updates["ema"] = st.ema.replace(
+                params=cast(ckpt["ema"]["params"], st.ema.params),
+                batch_stats=cast(ckpt["ema"]["batch_stats"],
+                                 st.ema.batch_stats),
+                updates=jnp.int32(meta.get("ema_updates", 0)),
+            )
+        if "optimizer" in ckpt and ckpt["optimizer"] is not None:
+            try:
+                from flax import serialization
+
+                updates["opt"] = serialization.from_state_dict(
+                    st.opt, jax.tree.map(jnp.asarray, ckpt["optimizer"])
+                )
+            except Exception as e:
+                LOGGER.warning("optimizer state not restored: %s", e)
+        self.state = st.replace(params=new["params"],
+                                batch_stats=new["batch_stats"], **updates)
+        LOGGER.info("resumed at epoch %d (best_fitness %.4f)",
+                    self.start_epoch, self.best_fitness)
 
     def build_dataloader(self, cfg):
         self.train_loader = create_dataloader(cfg, "train",
@@ -346,6 +376,9 @@ class Trainer:
             ema_params=st.ema.params if st.ema else None,
             ema_batch_stats=st.ema.batch_stats if st.ema else None,
             ema_updates=int(st.ema.updates) if st.ema else 0,
+            # optimizer momentum only rides in last.ckpt (resume source;
+            # reference keeps it in last.pt and strips it from best)
+            opt_state=st.opt if name == "last.ckpt" else None,
             epoch=self.epoch,
             best_fitness=self.best_fitness,
             cfg_yaml=self.cfg.dump(),

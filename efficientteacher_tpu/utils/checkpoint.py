@@ -57,7 +57,10 @@ def save_checkpoint(
             "batch_stats": cast(ema_batch_stats),
         }
     if opt_state is not None:
-        payload["optimizer"] = _to_np(opt_state)
+        # flax structs (SGDState) -> plain nested dicts for msgpack
+        payload["optimizer"] = _to_np(
+            serialization.to_state_dict(opt_state)
+        )
     blob = serialization.msgpack_serialize(payload)
     tmp = path.with_suffix(path.suffix + ".tmp")
     tmp.write_bytes(blob)

@@ -74,3 +74,59 @@ def test_trainer_e2e(synth_root, tmp_path):
 
     variables = load_eval_variables(trainer.save_dir / "weights" / "best.ckpt")
     assert "params" in variables and "batch_stats" in variables
+
+
+def test_resume(synth_root, tmp_path):
+    """Resume restores epoch, params, EMA, and optimizer momentum."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficientteacher_tpu.configs import get_cfg
+
+    def make_cfg(epochs, weights="", resume=False):
+        cfg = get_cfg()
+        cfg.Model.Backbone.name = "YoloV5"
+        cfg.Model.Neck.name = "YoloV5"
+        cfg.Model.Head.name = "YoloV5"
+        cfg.Model.Neck.in_channels = [256, 512, 1024]
+        cfg.Model.Neck.out_channels = [256, 512, 1024]
+        cfg.Model.width_multiple = 0.125
+        cfg.Model.depth_multiple = 0.34
+        cfg.Loss.type = "ComputeLoss"
+        cfg.Dataset.train = str(synth_root / "train.txt")
+        cfg.Dataset.val = ""
+        cfg.Dataset.nc = 1
+        cfg.Dataset.img_size = 128
+        cfg.Dataset.batch_size = 16   # accumulate=4; 1 batch/epoch
+        cfg.Dataset.max_targets = 16
+        cfg.epochs = epochs
+        cfg.hyp.warmup_epochs = 0
+        cfg.noval = True
+        cfg.weights = weights
+        cfg.resume = resume
+        cfg.project = str(tmp_path / "runs2")
+        cfg.name = "resume"
+        return cfg
+
+    cfg = make_cfg(4)  # 4 micro-steps = exactly one optimizer step
+    cfg.freeze()
+    t1 = Trainer(cfg, compute_dtype=jnp.float32)
+    t1.train()
+    last = str(t1.save_dir / "weights" / "last.ckpt")
+
+    cfg2 = make_cfg(6, weights=last, resume=True)
+    cfg2.freeze()
+    t2 = Trainer(cfg2, compute_dtype=jnp.float32)
+    assert t2.start_epoch == 4
+    # params match the saved state (fp16 ckpt quantization tolerance)
+    p1 = np.asarray(jax.tree.leaves(t1.state.params)[0], np.float32)
+    p2 = np.asarray(jax.tree.leaves(t2.state.params)[0], np.float32)
+    np.testing.assert_allclose(p1, p2, atol=2e-3)
+    # optimizer momentum restored (non-zero after training)
+    m2 = np.concatenate([
+        np.ravel(x) for x in jax.tree.leaves(t2.state.opt.momentum_buf)
+    ])
+    assert np.abs(m2).sum() > 0
+    assert int(t2.state.ema.updates) > 0
+    t2.train()  # continues cleanly
