@@ -24,6 +24,10 @@ def parse_opt():
     parser.add_argument("--max-det", type=int, default=300)
     parser.add_argument("--save-dir", type=str, default="runs/detect")
     parser.add_argument("--save-txt", action="store_true")
+    parser.add_argument("--save-crop", action="store_true",
+                        help="save cropped detection patches")
+    parser.add_argument("--save-xml", action="store_true",
+                        help="save PASCAL-VOC style XML annotations")
     parser.add_argument("--nosave", action="store_true")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     return parser.parse_args()
@@ -96,6 +100,30 @@ def main(opt):
             stem = Path(img_path.split("#")[0]).stem
             (save_dir / (stem + ".txt")).write_text(
                 "\n".join(lines)
+            )
+        if opt.save_crop and len(det):
+            crop_dir = save_dir / "crops"
+            crop_dir.mkdir(exist_ok=True)
+            stem = Path(img_path.split("#")[0]).stem
+            for j, (*xyxy, conf, cls) in enumerate(det):
+                x1, y1 = max(0, int(xyxy[0])), max(0, int(xyxy[1]))
+                x2, y2 = int(xyxy[2]), int(xyxy[3])
+                if x2 > x1 and y2 > y1:
+                    cv2.imwrite(str(crop_dir / f"{stem}_{j}.jpg"),
+                                img0[y1:y2, x1:x2])
+        if opt.save_xml:
+            stem = Path(img_path.split("#")[0]).stem
+            h0, w0 = img0.shape[:2]
+            objs = "".join(
+                f"<object><name>{names[int(c)] if int(c) < len(names) else int(c)}"
+                f"</name><bndbox><xmin>{int(x1)}</xmin><ymin>{int(y1)}</ymin>"
+                f"<xmax>{int(x2)}</xmax><ymax>{int(y2)}</ymax></bndbox>"
+                f"</object>"
+                for x1, y1, x2, y2, cf, c in det
+            )
+            (save_dir / (stem + ".xml")).write_text(
+                f"<annotation><size><width>{w0}</width>"
+                f"<height>{h0}</height></size>{objs}</annotation>"
             )
         if not opt.nosave:
             for *xyxy, conf, cls in det:

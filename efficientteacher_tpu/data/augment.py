@@ -337,3 +337,66 @@ def bbox_ioa_np(box1: np.ndarray, box2: np.ndarray,
           - np.maximum(box1[1], box2[:, 1])).clip(0)
     area2 = (box2[:, 2] - box2[:, 0]) * (box2[:, 3] - box2[:, 1]) + eps
     return ix * iy / area2
+
+
+def mosaic9(
+    images: List[np.ndarray],
+    labels: List[np.ndarray],  # (N, 5) [cls, x1, y1, x2, y2] pixels per image
+    img_size: int,
+    rng: Optional[random.Random] = None,
+):
+    """Compose 9 images on a 3x3 canvas (reference utils/datasets.py:
+    1314-1400 load_mosaic9): images tile around the first, the canvas is
+    randomly cropped to 2s x 2s. Caller applies random_perspective with
+    border=(-s//2, -s//2) like mosaic-4."""
+    rng = rng or random
+    s = img_size
+    canvas = np.full((s * 3, s * 3, 3), 114, np.uint8)
+    out_labels = []
+    hp = wp = -1  # previous tile dims
+    for i in range(9):
+        img = images[i]
+        h, w = img.shape[:2]
+        if i == 0:      # center
+            c = s, s, s + w, s + h
+        elif i == 1:    # top
+            c = s, s - h, s + w, s
+        elif i == 2:    # top right
+            c = s + wp, s - h, s + wp + w, s
+        elif i == 3:    # right
+            c = s + w0, s, s + w0 + w, s + h
+        elif i == 4:    # bottom right
+            c = s + w0, s + hp, s + w0 + w, s + hp + h
+        elif i == 5:    # bottom
+            c = s + w0 - w, s + h0, s + w0, s + h0 + h
+        elif i == 6:    # bottom left
+            c = s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h
+        elif i == 7:    # left
+            c = s - w, s + h0 - h, s, s + h0
+        else:           # top left
+            c = s - w, s + h0 - hp - h, s, s + h0 - hp
+        padx, pady = c[:2]
+        x1, y1, x2, y2 = (max(v, 0) for v in c)
+        canvas[y1:y2, x1:x2] = img[y1 - pady:, x1 - padx:][: y2 - y1, : x2 - x1]
+        if len(labels[i]):
+            lb = labels[i].copy()
+            lb[:, [1, 3]] += padx
+            lb[:, [2, 4]] += pady
+            out_labels.append(lb)
+        hp, wp = h, w
+        if i == 0:
+            h0, w0 = h, w
+    # random 2s x 2s crop
+    yc = int(rng.uniform(0, s))
+    xc = int(rng.uniform(0, s))
+    canvas = canvas[yc : yc + 2 * s, xc : xc + 2 * s]
+    if out_labels:
+        merged = np.concatenate(out_labels, 0)
+        merged[:, [1, 3]] -= xc
+        merged[:, [2, 4]] -= yc
+        np.clip(merged[:, 1:5], 0, 2 * s, out=merged[:, 1:5])
+        keep = (merged[:, 3] - merged[:, 1] > 2) & (merged[:, 4] - merged[:, 2] > 2)
+        merged = merged[keep]
+    else:
+        merged = np.zeros((0, 5), np.float32)
+    return canvas, merged

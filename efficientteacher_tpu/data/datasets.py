@@ -169,6 +169,8 @@ class LoadImagesAndLabels:
         seed: int = 0,
         cache_images: bool = False,
         num_keypoints: int = 0,
+        cache_dir_images: Optional[str] = None,
+        mosaic9_prob: float = 0.0,
     ):
         self.num_keypoints = num_keypoints
         self.img_size = img_size
@@ -181,6 +183,29 @@ class LoadImagesAndLabels:
         self.rng = random.Random(seed)
         self.cache_images = cache_images
         self._img_cache: Dict[int, tuple] = {}
+        # disk cache of resized images (reference cache='disk',
+        # datasets.py:797-818): .npy per image next to cache_dir_images
+        self.cache_dir_images = Path(cache_dir_images) if cache_dir_images \
+            else None
+        if self.cache_dir_images:
+            self.cache_dir_images.mkdir(parents=True, exist_ok=True)
+        self.mosaic9_prob = mosaic9_prob
+        # optional albumentations pipeline (reference utils/augmentations.py
+        # Albumentations hook :17-46) — silently disabled when the package
+        # is absent, matching the reference's try-import
+        self.albumentations = None
+        if augment:
+            try:
+                import albumentations as A
+
+                self.albumentations = A.Compose([
+                    A.Blur(p=0.01),
+                    A.MedianBlur(p=0.01),
+                    A.ToGray(p=0.01),
+                    A.CLAHE(p=0.01),
+                ])
+            except ImportError:
+                pass
 
         pairs = parse_data_path(path)
         self.img_files = [p[0] for p in pairs]
@@ -253,6 +278,12 @@ class LoadImagesAndLabels:
         datasets.py:797-818)."""
         if i in self._img_cache:
             return self._img_cache[i]
+        if self.cache_dir_images:
+            npy = self.cache_dir_images / f"{i}.npy"
+            if npy.exists():
+                img, h0, w0 = None, 0, 0
+                arr = np.load(npy, allow_pickle=True).item()
+                return arr["img"], arr["hw0"], arr["img"].shape[:2]
         img = cv2.imread(self.img_files[i])
         h0, w0 = img.shape[:2]
         r = self.img_size / max(h0, w0)
@@ -266,6 +297,9 @@ class LoadImagesAndLabels:
         out = (img, (h0, w0), img.shape[:2])
         if self.cache_images:
             self._img_cache[i] = out
+        if self.cache_dir_images:
+            np.save(self.cache_dir_images / f"{i}.npy",
+                    {"img": img, "hw0": (h0, w0)})
         return out
 
     def _labels_xyxy_pixels(self, i: int, ratio_w, ratio_h, padw, padh):
@@ -293,13 +327,21 @@ class LoadImagesAndLabels:
     # -- sample pipelines ----------------------------------------------------
     def _load_mosaic(self, index: int):
         s = self.img_size
-        idxs = [index] + [self.rng.randrange(len(self)) for _ in range(3)]
+        use9 = self.mosaic9_prob > 0 and self.rng.random() < self.mosaic9_prob
+        n_extra = 8 if use9 else 3
+        idxs = [index] + [self.rng.randrange(len(self))
+                          for _ in range(n_extra)]
         imgs, lbs = [], []
         for i in idxs:
             img, _, (h, w) = self.load_image(i)
             imgs.append(img)
             lbs.append(self._labels_xyxy_pixels(i, w, h, 0, 0))
-        canvas, merged = mosaic4(imgs, lbs, s, self.rng)
+        if use9:
+            from .augment import mosaic9
+
+            canvas, merged = mosaic9(imgs, lbs, s, self.rng)
+        else:
+            canvas, merged = mosaic4(imgs, lbs, s, self.rng)
         cp = self.hyp.get("copy_paste", 0.0)
         if cp > 0 and len(merged):
             canvas, merged = copy_paste(canvas, merged, cp, self.rng)
@@ -352,6 +394,8 @@ class LoadImagesAndLabels:
             shapes = (h0w0[1], h0w0[0])  # (h0, w0)
 
         if self.augment:
+            if self.albumentations is not None and img.flags.writeable:
+                img = self.albumentations(image=img)["image"]
             augment_hsv(
                 img, hyp.get("hsv_h", 0), hyp.get("hsv_s", 0),
                 hyp.get("hsv_v", 0), self.rng,
@@ -513,7 +557,11 @@ def create_dataloader(cfg, split: str = "train", augment: Optional[bool] = None,
         max_targets=cfg.Dataset.max_targets,
         single_cls=cfg.single_cls,
         seed=seed,
-        cache_images=bool(cfg.cache),
+        cache_images=cfg.cache is True or cfg.cache == "ram",
+        cache_dir_images=(
+            str(Path(path).parent / ".img_cache") if cfg.cache == "disk"
+            else None
+        ),
         num_keypoints=int(cfg.Dataset.np),
     )
     return BatchLoader(

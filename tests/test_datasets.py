@@ -152,3 +152,35 @@ def test_ssod_batch_loader(synth_dataset):
     np.testing.assert_array_equal(b["M_s"][:, 0], np.arange(4))
     # unlabeled: no GT labels
     assert not b["mask"].any()
+
+
+def test_mosaic9(synth_dataset):
+    import random
+
+    from efficientteacher_tpu.data.augment import mosaic9
+
+    root, listfile = synth_dataset
+    ds = LoadImagesAndLabels(str(listfile), img_size=96, nc=3, max_targets=32)
+    rng = random.Random(0)
+    imgs, lbs = [], []
+    for i in range(9):
+        img, _, (h, w) = ds.load_image(i % len(ds))
+        imgs.append(img)
+        lbs.append(ds._labels_xyxy_pixels(i % len(ds), w, h, 0, 0))
+    canvas, merged = mosaic9(imgs, lbs, 96, rng)
+    assert canvas.shape == (192, 192, 3)
+    if len(merged):
+        assert (merged[:, 1:5] >= 0).all() and (merged[:, 1:5] <= 192).all()
+
+
+def test_disk_image_cache(synth_dataset, tmp_path):
+    root, listfile = synth_dataset
+    ds = LoadImagesAndLabels(
+        str(listfile), img_size=64, nc=3, max_targets=8,
+        cache_dir_images=str(tmp_path / "imgc"),
+    )
+    img1, hw1, _ = ds.load_image(0)
+    assert (tmp_path / "imgc" / "0.npy").exists()
+    img2, hw2, _ = ds.load_image(0)  # served from disk
+    np.testing.assert_array_equal(img1, img2)
+    assert hw1 == tuple(hw2) or hw1 == hw2
