@@ -4,9 +4,10 @@ from .pseudo_label import (
     create_pseudo_labels,
     create_pseudo_labels_multi,
 )
-from .quality import check_pseudo_label_with_gt
+from .quality import check_pseudo_label, check_pseudo_label_with_gt
 
 __all__ = [
     "LabelMatch", "gmm_policy", "PseudoLabels", "create_pseudo_labels",
     "create_pseudo_labels_multi", "check_pseudo_label_with_gt",
+    "check_pseudo_label",
 ]

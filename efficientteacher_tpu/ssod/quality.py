@@ -65,3 +65,28 @@ def check_pseudo_label_with_gt(
         "pse_num": float(pse),
         "gt_num": float(gt),
     }
+
+
+def check_pseudo_label(
+    pseudo_labels: np.ndarray,  # (B, Mp, >=8) [cls, xywhn, conf, obj, clsc]
+    pseudo_mask: np.ndarray,
+    conf_thres: float = 0.5,
+) -> Dict[str, float]:
+    """No-GT proxy statistics (reference check_pseudo_label,
+    utils/self_supervised_utils.py:587-609): counts and the fraction of
+    pseudo labels whose obj/cls confidences agree above a threshold —
+    a cheap precision proxy when the target set has no annotations."""
+    mask = pseudo_mask.astype(bool)
+    n = int(mask.sum())
+    if n == 0:
+        return {"pse_num": 0.0, "conf_agree": 0.0, "mean_conf": 0.0}
+    rows = pseudo_labels[mask]
+    conf = rows[:, 5]
+    obj_c = rows[:, 6] if rows.shape[1] > 6 else conf
+    cls_c = rows[:, 7] if rows.shape[1] > 7 else conf
+    agree = float(((obj_c > conf_thres) & (cls_c > conf_thres)).mean())
+    return {
+        "pse_num": float(n),
+        "conf_agree": agree,
+        "mean_conf": float(conf.mean()),
+    }

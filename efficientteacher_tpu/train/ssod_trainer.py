@@ -30,7 +30,7 @@ from ..eval.metrics import fitness
 from ..losses.ssod_loss import SSODLossConfig
 from ..models import build_model
 from ..ssod.labelmatch import LabelMatch
-from ..ssod.quality import check_pseudo_label_with_gt
+from ..ssod.quality import check_pseudo_label, check_pseudo_label_with_gt
 from ..utils.checkpoint import save_checkpoint
 from .ssod_step import (
     create_ssod_train_state,
@@ -249,7 +249,7 @@ class SSODTrainer(Trainer):
                         pl_np, mask_np, tbatch["labels"], tbatch["mask"],
                     ))
                 else:
-                    metrics["pse_num"] = float(out.pseudo_count)
+                    metrics.update(check_pseudo_label(pl_np, mask_np))
                 self.meter.update(metrics)
                 LOGGER.info("ssod epoch %d it %d/%d %s", self.epoch, i,
                             n_iter, self.meter)

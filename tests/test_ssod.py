@@ -197,3 +197,19 @@ def test_labelmatch_epoch_update():
     assert lm.cls_thr_high[0] > 0.4          # GMM found the high cluster
     assert lm.cls_thr_high[1] == lm.ignore_thres_high  # no data -> default
     assert lm.cls_thr_low[0] >= lm.ignore_thres_low
+
+
+def test_quality_no_gt():
+    from efficientteacher_tpu.ssod.quality import check_pseudo_label
+
+    labels = np.zeros((1, 4, 8), np.float32)
+    mask = np.zeros((1, 4), bool)
+    labels[0, 0] = [0, 0.5, 0.5, 0.2, 0.2, 0.9, 0.95, 0.9]
+    labels[0, 1] = [1, 0.3, 0.3, 0.1, 0.1, 0.4, 0.45, 0.3]
+    mask[0, :2] = True
+    q = check_pseudo_label(labels, mask)
+    assert q["pse_num"] == 2.0
+    assert q["conf_agree"] == 0.5
+    assert 0.4 < q["mean_conf"] < 0.9
+    empty = check_pseudo_label(labels, np.zeros((1, 4), bool))
+    assert empty["pse_num"] == 0.0
