@@ -303,6 +303,18 @@ class Trainer:
     def train_in_epoch(self):
         for i, batch in enumerate(self.train_loader):
             ni = i + self.nb * self.epoch
+            if self.epoch == self.start_epoch and i < 3:
+                # first-batches mosaic plots (reference loggers plot_images
+                # on the first 3 train batches, utils/loggers/__init__.py:88)
+                try:
+                    from ..utils.plots import plot_images
+
+                    plot_images(
+                        batch["images"], batch["labels"], batch["mask"],
+                        self.save_dir / f"train_batch{i}.png",
+                    )
+                except Exception as e:
+                    LOGGER.debug("train batch plot skipped: %s", e)
             sched = self._schedule(ni)
             images = jnp.asarray(batch["images"])
             labels = jnp.asarray(batch["labels"])
@@ -384,6 +396,28 @@ class Trainer:
             cfg_yaml=self.cfg.dump(),
         )
         self.callbacks.run("on_model_save")
+
+    def profile_steps(self, n: int = 5, logdir: str | None = None):
+        """Capture a jax.profiler trace of `n` train steps (the TPU-native
+        replacement for the reference's hook-based profiler/timeline gap,
+        SURVEY.md §5.1). View with xprof/tensorboard."""
+        logdir = logdir or str(self.save_dir / "trace")
+        batch = next(iter(self.train_loader))
+        images = jnp.asarray(batch["images"])
+        labels = jnp.asarray(batch["labels"])
+        mask = jnp.asarray(batch["mask"])
+        sched = self._schedule(0)
+        self.state, parts = self.train_step(self.state, images, labels,
+                                            mask, sched)  # compile first
+        float(parts["loss"])
+        jax.profiler.start_trace(logdir)
+        for _ in range(n):
+            self.state, parts = self.train_step(self.state, images, labels,
+                                                mask, sched)
+        float(parts["loss"])
+        jax.profiler.stop_trace()
+        LOGGER.info("profiler trace (%d steps) -> %s", n, logdir)
+        return logdir
 
     def train(self):
         self.callbacks.run("on_train_start")
