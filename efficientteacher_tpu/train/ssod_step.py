@@ -15,7 +15,7 @@ arrays/scalars so epoch-boundary updates never recompile.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,6 @@ from flax import struct
 from ..losses.domain_loss import domain_loss, target_loss
 from ..losses.ssod_loss import SSODLossConfig, compute_ssod_loss
 from ..losses.yolov5_loss import YoloV5LossConfig, compute_loss
-from ..models.heads.yolov5 import decode_yolov5_scale
 from ..ssod.pseudo_label import create_pseudo_labels, create_pseudo_labels_multi
 from .optim import OptimizerConfig
 from .supervised import Schedule
