@@ -56,6 +56,12 @@ class SSODTrainer(Trainer):
         self.with_da_loss = bool(cfg.SSOD.with_da_loss)
         self.da_loss_weights = float(cfg.SSOD.da_loss_weights)
         self.dynamic_thres_epoch = int(cfg.SSOD.dynamic_thres_epoch)
+        # dynamic per-class thresholds only under the LabelMatch creator;
+        # FairPseudoLabel keeps the fixed ignore_thres_high/low
+        # (reference ssod_trainer.py:320-323 gated on pseudo_label_type)
+        self.use_labelmatch = (
+            str(cfg.SSOD.pseudo_label_type) == "LabelMatch"
+        )
         self.teacher_seeded = False
 
     def build_model(self, cfg):
@@ -255,7 +261,7 @@ class SSODTrainer(Trainer):
                             n_iter, self.meter)
 
     def after_epoch(self):
-        if self.epoch >= self.burn_epochs and self.dynamic_thres_epoch >= 0 \
+        if self.use_labelmatch and self.epoch >= self.burn_epochs \
                 and self.epoch >= self.dynamic_thres_epoch:
             self.label_match.update_epoch_cls_thr(
                 max(self.epoch - self.burn_epochs, 0)
