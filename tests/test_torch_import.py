@@ -119,3 +119,35 @@ def test_export_roundtrip(tmp_path):
             continue
         assert k in back, k
         np.testing.assert_allclose(back[k], v, atol=1e-6)
+
+
+def test_strip_optimizer(tmp_path):
+    """strip_optimizer drops training state and promotes EMA to model."""
+    import jax.numpy as jnp
+
+    from efficientteacher_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+        strip_optimizer,
+    )
+
+    params = {"a": {"kernel": jnp.ones((2, 2))}}
+    ema = {"a": {"kernel": jnp.full((2, 2), 3.0)}}
+    bs = {"a": {"mean": jnp.zeros(2)}}
+    path = tmp_path / "w.ckpt"
+    save_checkpoint(path, params=params, batch_stats=bs,
+                    ema_params=ema, ema_batch_stats=bs,
+                    opt_state={"momentum": jnp.ones(4)},
+                    epoch=7, best_fitness=0.5)
+    ckpt = load_checkpoint(path)
+    assert "optimizer" in ckpt and "ema" in ckpt
+
+    strip_optimizer(path)
+    stripped = load_checkpoint(path)
+    assert "optimizer" not in stripped
+    # EMA promoted into the model slot
+    np.testing.assert_allclose(
+        np.asarray(stripped["model"]["params"]["a"]["kernel"], np.float32),
+        3.0,
+    )
+    assert stripped["meta"]["best_fitness"] == 0.5
