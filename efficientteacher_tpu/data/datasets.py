@@ -564,6 +564,11 @@ def create_dataloader(cfg, split: str = "train", augment: Optional[bool] = None,
         ),
         num_keypoints=int(cfg.Dataset.np),
     )
+    if not augment and (cfg.Dataset.rect or cfg.rect):
+        return RectBatchLoader(
+            ds, batch_size or cfg.Dataset.batch_size,
+            img_size=cfg.Dataset.img_size,
+        )
     return BatchLoader(
         ds,
         batch_size or cfg.Dataset.batch_size,
@@ -572,3 +577,70 @@ def create_dataloader(cfg, split: str = "train", augment: Optional[bool] = None,
         drop_last=augment,
         sampler_type=cfg.Dataset.sampler_type if augment else "normal",
     )
+
+
+class RectBatchLoader(BatchLoader):
+    """Aspect-ratio-bucketed validation loader (reference rectangular
+    batches, utils/datasets.py:772-795): images sort by aspect ratio, each
+    batch letterboxes to a shared stride-multiple shape derived from the
+    batch's extreme aspect (pad 0.5 like val.py:255). Shapes are quantized
+    to `stride` so the jitted eval program compiles a small, bounded set of
+    (h, w) variants.
+    """
+
+    def __init__(self, dataset, batch_size: int, img_size: int,
+                 stride: int = 32, pad: float = 0.5):
+        super().__init__(dataset, batch_size, shuffle=False, drop_last=False)
+        self.img_size = img_size
+        self.stride = stride
+        self.pad = pad
+        shapes = dataset.shapes  # (N, 2) w, h
+        ar = shapes[:, 1] / shapes[:, 0]  # h / w
+        self.order = np.argsort(ar)
+        n = len(dataset)
+        nb = int(math.ceil(n / batch_size))
+        self.batch_shapes = []
+        self.batches = []
+        for bi in range(nb):
+            idx = self.order[bi * batch_size : (bi + 1) * batch_size]
+            ari = ar[idx]
+            mini, maxi = float(ari.min()), float(ari.max())
+            shape = [1.0, 1.0]
+            if maxi < 1:
+                shape = [maxi, 1.0]
+            elif mini > 1:
+                shape = [1.0, 1.0 / mini]
+            h = int(math.ceil(shape[0] * img_size / stride + pad)) * stride
+            w = int(math.ceil(shape[1] * img_size / stride + pad)) * stride
+            self.batch_shapes.append((min(h, img_size + stride),
+                                      min(w, img_size + stride)))
+            self.batches.append(list(idx))
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        from .augment import letterbox
+
+        for bidx, (bh, bw) in zip(self.batches, self.batch_shapes):
+            imgs, labels, masks, shapes = [], [], [], []
+            for i in bidx:
+                img, (h0, w0), (h, w) = self.ds.load_image(i)
+                img, ratio, dwdh = letterbox(img, (bh, bw), auto=False,
+                                             scaleup=False)
+                t = self.ds._labels_xyxy_pixels(
+                    i, ratio[0] * w, ratio[1] * h, dwdh[0], dwdh[1]
+                )
+                lab, m = self.ds.pack_labels(t, bw, bh)
+                imgs.append(np.ascontiguousarray(img[:, :, ::-1]))
+                labels.append(lab)
+                masks.append(m)
+                shapes.append((h0, w0))
+            yield {
+                "images": np.stack(imgs),
+                "labels": np.stack(labels),
+                "mask": np.stack(masks),
+                "shapes": shapes,
+                "indices": bidx,
+            }
+        self.epoch += 1

@@ -98,15 +98,17 @@ def run(
         bs = images.shape[0]
         if compiled_bs is None:
             compiled_bs = bs
-        if bs < compiled_bs:  # pad ragged final batch to compiled shape
+        if bs < compiled_bs:  # pad ragged final batch to compiled batch dim
             pad = compiled_bs - bs
             images = np.concatenate(
                 [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
             )
+        # rect loaders emit a bounded set of (h, w) shapes; the jitted infer
+        # compiles once per distinct shape
         out = infer(variables, jnp.asarray(images))
         dets = np.asarray(out.detections)[:bs]
         valid = np.asarray(out.valid)[:bs]
-        lh = lw = images.shape[1]
+        lh, lw = images.shape[1], images.shape[2]
 
         for bi in range(bs):
             det = dets[bi][valid[bi]]
@@ -118,7 +120,7 @@ def run(
                 lxyxy = np.zeros((len(lab), 5), np.float32)
                 lxyxy[:, 0] = lab[:, 0]
                 cx, cy, w, h = lab[:, 1] * lw, lab[:, 2] * lh, \
-                    lab[:, 3] * lw, lab[:, 4] * lh
+                lab[:, 3] * lw, lab[:, 4] * lh
                 lxyxy[:, 1], lxyxy[:, 2] = cx - w / 2, cy - h / 2
                 lxyxy[:, 3], lxyxy[:, 4] = cx + w / 2, cy + h / 2
                 lxyxy[:, 1:] = _scale_to_native(lxyxy[:, 1:], (lh, lw), native_hw)

@@ -184,3 +184,58 @@ def test_disk_image_cache(synth_dataset, tmp_path):
     img2, hw2, _ = ds.load_image(0)  # served from disk
     np.testing.assert_array_equal(img1, img2)
     assert hw1 == tuple(hw2) or hw1 == hw2
+
+
+def test_rect_batch_loader(synth_dataset):
+    from efficientteacher_tpu.data.datasets import RectBatchLoader
+
+    root, listfile = synth_dataset
+    ds = LoadImagesAndLabels(str(listfile), img_size=128, nc=3, max_targets=8)
+    loader = RectBatchLoader(ds, batch_size=4, img_size=128)
+    seen = 0
+    for b in loader:
+        h, w = b["images"].shape[1:3]
+        assert h % 32 == 0 and w % 32 == 0
+        assert h <= 160 and w <= 160
+        # labels normalized to the bucket frame
+        lab = b["labels"][b["mask"]]
+        if len(lab):
+            assert (lab[:, 1:] >= 0).all() and (lab[:, 1:] <= 1.0001).all()
+        seen += len(b["indices"])
+    assert seen == len(ds)
+
+
+def test_validator_with_rect_loader(synth_dataset):
+    """Eval machinery over non-square rect batches (shape-bucketed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficientteacher_tpu.configs import get_cfg
+    from efficientteacher_tpu.data.datasets import RectBatchLoader
+    from efficientteacher_tpu.eval import validator
+    from efficientteacher_tpu.models import Model
+    from efficientteacher_tpu.models.spec import spec_from_cfg
+
+    root, listfile = synth_dataset
+    cfg = get_cfg()
+    cfg.Model.Backbone.name = "YoloV5"
+    cfg.Model.Neck.name = "YoloV5"
+    cfg.Model.Head.name = "YoloV5"
+    cfg.Model.Neck.in_channels = [256, 512, 1024]
+    cfg.Model.Neck.out_channels = [256, 512, 1024]
+    cfg.Model.width_multiple = 0.125
+    cfg.Model.depth_multiple = 0.34
+    cfg.Dataset.nc = 3
+    cfg.Dataset.img_size = 128
+    spec = spec_from_cfg(cfg)
+    model = Model(spec=spec, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)),
+                           train=False)
+    ds = LoadImagesAndLabels(str(listfile), img_size=128, nc=3, max_targets=8)
+    loader = RectBatchLoader(ds, batch_size=4, img_size=128)
+    results, maps, thr = validator.run(
+        model, variables, loader, nc=3, compute_dtype=jnp.float32,
+        max_nms=512,
+    )
+    assert all(np.isfinite(v) for v in results)
+    assert len(thr) == 3
