@@ -89,3 +89,64 @@ def test_ssod_trainer_e2e(ssod_data, tmp_path):
     ckpt = load_checkpoint(trainer.save_dir / "weights" / "last.ckpt")
     assert "ema" in ckpt
     assert ckpt["meta"]["epoch"] == 2
+
+
+def test_ssod_trainer_with_extra_teacher(ssod_data, tmp_path):
+    """extra_teachers checkpoint loads, class-remaps, and the multi-teacher
+    step trains end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficientteacher_tpu.models import build_model
+    from efficientteacher_tpu.models.spec import spec_from_cfg
+    from efficientteacher_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = get_cfg()
+    cfg.Model.Backbone.name = "YoloV5"
+    cfg.Model.Neck.name = "YoloV5"
+    cfg.Model.Head.name = "YoloV5"
+    cfg.Model.Neck.in_channels = [256, 512, 1024]
+    cfg.Model.Neck.out_channels = [256, 512, 1024]
+    cfg.Model.width_multiple = 0.125
+    cfg.Model.depth_multiple = 0.34
+    cfg.Loss.type = "ComputeLoss"
+    cfg.SSOD.train_domain = True
+    cfg.SSOD.nms_conf_thres = 0.1
+    cfg.SSOD.max_pseudo_labels = 16
+    cfg.SSOD.fixed_accumulate = True
+    cfg.hyp.burn_epochs = 0
+    cfg.Dataset.train = str(ssod_data / "train.txt")
+    cfg.Dataset.val = ""
+    cfg.Dataset.target = str(ssod_data / "target.txt")
+    cfg.Dataset.nc = 1
+    cfg.Dataset.names = ["thing"]
+    cfg.Dataset.img_size = 128
+    cfg.Dataset.batch_size = 4
+    cfg.Dataset.max_targets = 16
+    cfg.epochs = 1
+    cfg.hyp.warmup_epochs = 0
+    cfg.hyp.mosaic = 0.0
+    cfg.noval = True
+    cfg.nosave = True
+    cfg.project = str(tmp_path / "runs")
+    cfg.name = "mt"
+
+    # build an extra-teacher checkpoint (same arch, its own class list)
+    spec = spec_from_cfg(cfg)
+    tm = build_model(spec, ssod=True, dtype=jnp.float32)
+    tv = tm.init(jax.random.PRNGKey(1), jnp.zeros((1, 128, 128, 3)),
+                 train=False)
+    tpath = tmp_path / "teacher.ckpt"
+    save_checkpoint(tpath, params=tv["params"],
+                    batch_stats=tv["batch_stats"], half=False)
+    cfg.SSOD.extra_teachers = [str(tpath)]
+    cfg.SSOD.extra_teachers_class_names = [["thing"]]
+    cfg.freeze()
+
+    from efficientteacher_tpu.train.ssod_trainer import SSODTrainer
+
+    t = SSODTrainer(cfg, compute_dtype=jnp.float32)
+    # burn_epochs=0: teacher seeded immediately, multi-teacher step used
+    t.train()
+    assert t.teacher_seeded
+    assert int(t.state.step) >= 1
