@@ -171,6 +171,8 @@ class LoadImagesAndLabels:
         num_keypoints: int = 0,
         cache_dir_images: Optional[str] = None,
         mosaic9_prob: float = 0.0,
+        num_ids: int = 0,
+        pseudo_ids: bool = False,
     ):
         self.num_keypoints = num_keypoints
         self.img_size = img_size
@@ -190,6 +192,11 @@ class LoadImagesAndLabels:
         if self.cache_dir_images:
             self.cache_dir_images.mkdir(parents=True, exist_ok=True)
         self.mosaic9_prob = mosaic9_prob
+        # tracking/instance id channel (reference with_id,
+        # datasets.py:656-662, 737-739): labels carry one trailing id
+        # column; pseudo_ids assigns sequential ids when absent
+        self.with_id = num_ids > 0 or pseudo_ids
+        self.pseudo_ids = pseudo_ids
         # optional albumentations pipeline (reference utils/augmentations.py
         # Albumentations hook :17-46) — silently disabled when the package
         # is absent, matching the reference's try-import
@@ -304,10 +311,12 @@ class LoadImagesAndLabels:
 
     def _labels_xyxy_pixels(self, i: int, ratio_w, ratio_h, padw, padh):
         """Normalized xywh -> pixel xyxy in the (resized+padded) frame.
-        Keypoint columns (if any) follow in pixel space, invisible = -1."""
+        Keypoint columns (if any) follow in pixel space, invisible = -1;
+        a trailing id column follows when with_id."""
         lb = self.labels[i]
         npk = self.num_keypoints
-        out = np.zeros((len(lb), 5 + 2 * npk), np.float32)
+        extra_id = 1 if self.with_id else 0
+        out = np.zeros((len(lb), 5 + 2 * npk + extra_id), np.float32)
         if len(lb):
             out[:, 0] = lb[:, 0]
             cx, cy, w, h = lb[:, 1] * ratio_w, lb[:, 2] * ratio_h, \
@@ -322,6 +331,14 @@ class LoadImagesAndLabels:
                     visible, lb[:, 5 + 2 * k] * ratio_w + padw, -1.0)
                 out[:, 6 + 2 * k] = np.where(
                     visible, lb[:, 6 + 2 * k] * ratio_h + padh, -1.0)
+            if self.with_id:
+                id_col = 5 + 2 * npk
+                if lb.shape[1] > id_col:
+                    out[:, id_col] = lb[:, id_col]
+                elif self.pseudo_ids:
+                    out[:, id_col] = np.arange(len(lb), dtype=np.float32)
+                else:
+                    out[:, id_col] = -1.0
         return out
 
     # -- sample pipelines ----------------------------------------------------
@@ -412,10 +429,12 @@ class LoadImagesAndLabels:
         return img, labels, mask, shapes
 
     def pack_labels(self, targets_xyxy: np.ndarray, w: int, h: int):
-        """Pixel xyxy -> padded normalized (M, 5+2*np) [cls, cxywh, kps]."""
+        """Pixel xyxy -> padded normalized (M, 5+2*np[+1]) [cls, cxywh, kps,
+        id?]."""
         m = self.max_targets
         npk = self.num_keypoints
-        labels = np.zeros((m, 5 + 2 * npk), np.float32)
+        extra_id = 1 if getattr(self, "with_id", False) else 0
+        labels = np.zeros((m, 5 + 2 * npk + extra_id), np.float32)
         mask = np.zeros((m,), bool)
         n = min(len(targets_xyxy), m)
         if n:
@@ -432,6 +451,8 @@ class LoadImagesAndLabels:
                                                      -1.0)
                     labels[:n, 6 + 2 * k] = np.where(vis, t[:, 6 + 2 * k] / h,
                                                      -1.0)
+            if extra_id and t.shape[1] > 5 + 2 * npk:
+                labels[:n, 5 + 2 * npk] = t[:, 5 + 2 * npk]
             mask[:n] = True
         return labels, mask
 
@@ -563,6 +584,8 @@ def create_dataloader(cfg, split: str = "train", augment: Optional[bool] = None,
             else None
         ),
         num_keypoints=int(cfg.Dataset.np),
+        num_ids=int(cfg.Dataset.num_ids),
+        pseudo_ids=bool(cfg.Dataset.pseudo_ids),
     )
     if not augment and (cfg.Dataset.rect or cfg.rect):
         return RectBatchLoader(

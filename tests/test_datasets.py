@@ -239,3 +239,14 @@ def test_validator_with_rect_loader(synth_dataset):
     )
     assert all(np.isfinite(v) for v in results)
     assert len(thr) == 3
+
+
+def test_tracking_id_channel(synth_dataset):
+    """pseudo_ids adds a trailing sequential id column to labels."""
+    root, listfile = synth_dataset
+    ds = LoadImagesAndLabels(str(listfile), img_size=64, nc=3, max_targets=8,
+                             pseudo_ids=True)
+    img, labels, mask, _ = ds[0]
+    assert labels.shape == (8, 6)  # cls + xywh + id
+    ids = labels[mask][:, 5]
+    assert (ids == np.arange(len(ids))).all()
