@@ -76,6 +76,7 @@ def run(
     compute_dtype=jnp.bfloat16,
     img_size: Optional[int] = None,
     save_json: Optional[str] = None,
+    coco_gt_json: Optional[str] = None,
     confusion: bool = False,
 ):
     """Evaluate `model(variables)` over `loader`. Returns
@@ -155,6 +156,21 @@ def run(
 
         with open(save_json, "w") as f:
             json.dump(json_preds, f)
+        # official COCOeval when pycocotools + an annotation file are
+        # available (reference val.py:427-452)
+        if coco_gt_json:
+            try:
+                from pycocotools.coco import COCO
+                from pycocotools.cocoeval import COCOeval
+
+                gt = COCO(coco_gt_json)
+                dt = gt.loadRes(save_json)
+                ev = COCOeval(gt, dt, "bbox")
+                ev.evaluate()
+                ev.accumulate()
+                ev.summarize()
+            except ImportError:
+                pass
 
     stats = [np.concatenate(x, 0) for x in zip(*stats)]
     if len(stats) and stats[0].any():

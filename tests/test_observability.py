@@ -53,3 +53,20 @@ def test_loggers_csv_and_bus(tmp_path):
     rows = (tmp_path / "results.csv").read_text().strip().splitlines()
     assert len(rows) == 3
     assert rows[0].startswith("epoch,")
+
+
+def test_loggers_tensorboard(tmp_path):
+    """TB writer produces event files (TF ships in this image)."""
+    import pytest
+
+    try:
+        import tensorflow  # noqa: F401
+    except ImportError:
+        pytest.skip("tensorflow absent")
+    lg = Loggers(tmp_path, include=("csv", "tb"))
+    if lg.tb is None:
+        pytest.skip("tb writer unavailable")
+    lg.on_fit_epoch_end({"metrics/mAP_0.5": 0.1}, 0)
+    lg.on_train_end()
+    events = list((tmp_path / "tb").glob("events.*"))
+    assert events
