@@ -592,6 +592,12 @@ def create_dataloader(cfg, split: str = "train", augment: Optional[bool] = None,
             ds, batch_size or cfg.Dataset.batch_size,
             img_size=cfg.Dataset.img_size,
         )
+    if augment and cfg.Dataset.quad:
+        return QuadBatchLoader(
+            ds, (batch_size or cfg.Dataset.batch_size) // 2,
+            shuffle=True, seed=seed, drop_last=True,
+            sampler_type=cfg.Dataset.sampler_type,
+        )
     return BatchLoader(
         ds,
         batch_size or cfg.Dataset.batch_size,
@@ -664,6 +670,70 @@ class RectBatchLoader(BatchLoader):
                 "labels": np.stack(labels),
                 "mask": np.stack(masks),
                 "shapes": shapes,
+                "indices": bidx,
+            }
+        self.epoch += 1
+
+
+class QuadBatchLoader(BatchLoader):
+    """Quad collate (reference collate_fn4, utils/datasets.py:1170-1194):
+    each output sample covers 4 dataset items — either one item upscaled 2x
+    or a 2x2 paste of four items — yielding 2*img_size images at a quarter
+    of the batch count. Enabled by cfg.Dataset.quad."""
+
+    def __iter__(self):
+        idx = self._indices()
+        group = self.bs * 4
+        batches = [idx[i : i + group] for i in range(0, len(idx), group)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == group]
+        s = self.ds.img_size
+        m = self.ds.max_targets
+        ncol = None
+        for bidx in batches:
+            imgs, labels, masks = [], [], []
+            for g in range(0, len(bidx), 4):
+                quad = bidx[g : g + 4]
+                items = [self.ds[i] for i in quad]
+                if ncol is None:
+                    ncol = items[0][1].shape[-1]
+                if random.random() < 0.5:
+                    # single item upscaled to 2s (labels unchanged: they are
+                    # normalized to the frame)
+                    img = cv2.resize(items[0][0], (2 * s, 2 * s),
+                                     interpolation=cv2.INTER_LINEAR)
+                    lab = np.zeros((m * 4, ncol), np.float32)
+                    msk = np.zeros((m * 4,), bool)
+                    n = int(items[0][2].sum())
+                    lab[:n] = items[0][1][items[0][2]]
+                    msk[:n] = True
+                else:
+                    img = np.zeros((2 * s, 2 * s, 3), np.uint8)
+                    lab = np.zeros((m * 4, ncol), np.float32)
+                    msk = np.zeros((m * 4,), bool)
+                    w = 0
+                    offs = [(0, 0), (0, 1), (1, 0), (1, 1)]
+                    for (oy, ox), it in zip(offs, items):
+                        img[oy * s : (oy + 1) * s, ox * s : (ox + 1) * s] = it[0]
+                        sel = it[2]
+                        n = int(sel.sum())
+                        if n:
+                            rows = it[1][sel].copy()
+                            rows[:, 1] = rows[:, 1] / 2 + ox * 0.5
+                            rows[:, 2] = rows[:, 2] / 2 + oy * 0.5
+                            rows[:, 3] /= 2
+                            rows[:, 4] /= 2
+                            lab[w : w + n] = rows
+                            msk[w : w + n] = True
+                            w += n
+                imgs.append(img)
+                labels.append(lab)
+                masks.append(msk)
+            yield {
+                "images": np.stack(imgs),
+                "labels": np.stack(labels),
+                "mask": np.stack(masks),
+                "shapes": [None] * len(imgs),
                 "indices": bidx,
             }
         self.epoch += 1

@@ -250,3 +250,17 @@ def test_tracking_id_channel(synth_dataset):
     assert labels.shape == (8, 6)  # cls + xywh + id
     ids = labels[mask][:, 5]
     assert (ids == np.arange(len(ids))).all()
+
+
+def test_quad_batch_loader(synth_dataset):
+    from efficientteacher_tpu.data.datasets import QuadBatchLoader
+
+    root, listfile = synth_dataset
+    ds = LoadImagesAndLabels(str(listfile), img_size=64, nc=3, max_targets=4)
+    loader = QuadBatchLoader(ds, batch_size=2, shuffle=True, seed=0)
+    b = next(iter(loader))
+    assert b["images"].shape == (2, 128, 128, 3)   # 2x img_size
+    assert b["labels"].shape == (2, 16, 5)         # 4x max_targets
+    lab = b["labels"][b["mask"]]
+    if len(lab):
+        assert (lab[:, 1:] >= 0).all() and (lab[:, 1:] <= 1.0001).all()
