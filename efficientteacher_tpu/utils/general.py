@@ -49,3 +49,32 @@ def one_flat_cycle(y1: float, y2: float, steps: int):
     from ..train.optim import one_cycle
 
     return one_cycle(y1, y2, steps)
+
+
+def labels_to_class_weights(labels, nc: int = 80):
+    """Inverse-frequency class weights from dataset labels
+    (reference utils/general.py labels_to_class_weights; attached to the
+    model as class_weights, trainer.py:317)."""
+    import numpy as np
+
+    counts = np.zeros(nc, np.float64)
+    for lb in labels:
+        if len(lb):
+            counts += np.bincount(lb[:, 0].astype(int), minlength=nc)
+    counts[counts == 0] = 1
+    w = 1.0 / counts
+    return (w / w.sum()).astype(np.float32)
+
+
+def init_seeds(seed: int = 0):
+    """Seed python/numpy RNGs and return a jax PRNGKey
+    (reference utils/general.py init_seeds + torch_utils.init_torch_seeds)."""
+    import random as _random
+
+    import numpy as np
+
+    _random.seed(seed)
+    np.random.seed(seed)
+    import jax
+
+    return jax.random.PRNGKey(seed)

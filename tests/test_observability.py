@@ -70,3 +70,22 @@ def test_loggers_tensorboard(tmp_path):
     lg.on_train_end()
     events = list((tmp_path / "tb").glob("events.*"))
     assert events
+
+
+def test_general_helpers():
+    import numpy as np
+
+    from efficientteacher_tpu.utils.general import (
+        check_img_size,
+        increment_path,
+        init_seeds,
+        labels_to_class_weights,
+    )
+
+    labels = [np.array([[0, 0, 0, 0, 0]] * 9), np.array([[1, 0, 0, 0, 0]])]
+    w = labels_to_class_weights(labels, nc=2)
+    assert w[1] > w[0]  # rare class upweighted
+    assert abs(w.sum() - 1.0) < 1e-6
+    assert check_img_size(100, 32) == 128
+    key = init_seeds(3)
+    assert key.shape == (2,)
