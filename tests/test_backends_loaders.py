@@ -61,3 +61,28 @@ def test_load_images(tmp_path):
     path, rgb, img0, rp = items[0]
     assert rgb.shape == (64, 64, 3)
     assert img0.shape == (100, 80, 3)
+
+
+def test_autoshape(ckpt_path, tmp_path):
+    """AutoShape end-user wrapper: paths and arrays in, Detections out."""
+    from efficientteacher_tpu.models.autoshape import AutoShape
+    from efficientteacher_tpu.models.spec import spec_from_cfg
+    from efficientteacher_tpu.models import build_model
+    from efficientteacher_tpu.utils.checkpoint import load_eval_variables
+
+    cfg = tiny_cfg()
+    spec = spec_from_cfg(cfg)
+    model = build_model(spec, ssod=False, dtype=jnp.bfloat16)
+    variables = load_eval_variables(ckpt_path)
+    sh = AutoShape(model, variables, spec, names=["a", "b", "c"], img_size=64)
+
+    img_file = tmp_path / "x.jpg"
+    cv2.imwrite(str(img_file), np.full((90, 70, 3), 120, np.uint8))
+    dets = sh([str(img_file), np.full((50, 80, 3), 90, np.uint8)])
+    assert len(dets) == 2
+    assert isinstance(dets.xyxy, list) and isinstance(dets.xywh, list)
+    rendered = dets.render()
+    assert rendered[0].shape == (90, 70, 3)
+    dets.save(tmp_path / "out")
+    assert (tmp_path / "out" / "image0.jpg").exists()
+    dets.print()

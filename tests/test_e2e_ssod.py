@@ -150,3 +150,47 @@ def test_ssod_trainer_with_extra_teacher(ssod_data, tmp_path):
     t.train()
     assert t.teacher_seeded
     assert int(t.state.step) >= 1
+
+
+def test_ssod_burn_in_with_da_loss(ssod_data, tmp_path):
+    """Burn-in with domain-adaptation losses: GRL discriminators train
+    against weak target images (train_without_unlabeled_da path)."""
+    import jax.numpy as jnp
+
+    cfg = get_cfg()
+    cfg.Model.Backbone.name = "YoloV5"
+    cfg.Model.Neck.name = "YoloV5"
+    cfg.Model.Head.name = "YoloV5"
+    cfg.Model.Neck.in_channels = [256, 512, 1024]
+    cfg.Model.Neck.out_channels = [256, 512, 1024]
+    cfg.Model.width_multiple = 0.125
+    cfg.Model.depth_multiple = 0.34
+    cfg.Loss.type = "ComputeLoss"
+    cfg.SSOD.train_domain = True
+    cfg.SSOD.with_da_loss = True
+    cfg.SSOD.da_loss_weights = 0.1
+    cfg.SSOD.fixed_accumulate = True
+    cfg.hyp.burn_epochs = 1
+    cfg.Dataset.train = str(ssod_data / "train.txt")
+    cfg.Dataset.val = ""
+    cfg.Dataset.target = str(ssod_data / "target.txt")
+    cfg.Dataset.nc = 1
+    cfg.Dataset.img_size = 128
+    cfg.Dataset.batch_size = 4
+    cfg.Dataset.max_targets = 16
+    cfg.epochs = 1
+    cfg.hyp.warmup_epochs = 0
+    cfg.hyp.mosaic = 0.0
+    cfg.noval = True
+    cfg.nosave = True
+    cfg.project = str(tmp_path / "runs")
+    cfg.name = "da"
+    cfg.freeze()
+
+    from efficientteacher_tpu.train.ssod_trainer import SSODTrainer
+
+    t = SSODTrainer(cfg, compute_dtype=jnp.float32)
+    t.train()
+    # DA losses appeared in the meters
+    assert "d_loss" in t.meter.meters and "t_loss" in t.meter.meters
+    assert np.isfinite(t.meter.meters["d_loss"].avg)

@@ -17,6 +17,9 @@ def parse_opt():
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--save-json", type=str, default=None,
                         help="write COCO-format predictions JSON")
+    parser.add_argument("--coco-gt", type=str, default=None,
+                        help="COCO annotation JSON for official COCOeval "
+                             "(needs pycocotools)")
     parser.add_argument("--confusion", action="store_true",
                         help="print the confusion matrix")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
@@ -58,7 +61,8 @@ def main(opt):
     out = validator.run(
         model, variables, loader, nc=spec.nc,
         conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
-        save_json=opt.save_json, confusion=opt.confusion,
+        save_json=opt.save_json, coco_gt_json=opt.coco_gt,
+        confusion=opt.confusion,
     )
     results, maps, cls_thr = out[:3]
     print("P=%.4f R=%.4f mAP50=%.4f mAP50-95=%.4f" % results)
