@@ -71,6 +71,10 @@ class OptimizerConfig:
     warmup_bias_lr: float = 0.1
     epochs: int = 300
     linear_lr: bool = False
+    # SSOD multi-step schedule (reference cfg.SSOD.multi_step_lr +
+    # milestones: LR x0.1 at each milestone epoch)
+    multi_step: bool = False
+    milestones: Tuple[int, ...] = ()
 
     @classmethod
     def from_cfg(cls, cfg, scaled_weight_decay: float):
@@ -85,9 +89,13 @@ class OptimizerConfig:
             warmup_bias_lr=float(cfg.hyp.warmup_bias_lr),
             epochs=int(cfg.epochs),
             linear_lr=bool(cfg.linear_lr),
+            multi_step=bool(cfg.SSOD.multi_step_lr),
+            milestones=tuple(int(m) for m in cfg.SSOD.milestones),
         )
 
     def lf(self, epoch: float) -> float:
+        if self.multi_step:
+            return 0.1 ** sum(epoch >= m for m in self.milestones)
         f = (
             linear_lf(self.lrf, self.epochs)
             if self.linear_lr
