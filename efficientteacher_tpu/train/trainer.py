@@ -89,6 +89,15 @@ class Trainer:
         self.results_csv = self.save_dir / "results.csv"
         self.n_devices = len(jax.devices())
         self.mesh = make_mesh(self.n_devices) if self.n_devices > 1 else None
+        # loggers registered on the callbacks bus (reference trainer.py:281)
+        try:
+            from ..utils.loggers import Loggers
+
+            self.loggers = Loggers(self.save_dir, cfg, include=("tb",))
+            self.loggers.register(self.callbacks)
+        except Exception as e:
+            LOGGER.debug("loggers disabled: %s", e)
+            self.loggers = None
 
     def build_model(self, cfg):
         self.spec = spec_from_cfg(cfg)
@@ -361,7 +370,16 @@ class Trainer:
                 self._save_ckpt("best.ckpt", fi)
             if self.save_period > 0 and self.epoch % self.save_period == 0:
                 self._save_ckpt(f"epoch{self.epoch}.ckpt", fi)
-        self.callbacks.run("on_fit_epoch_end")
+        metrics = {
+            "metrics/precision": results[0],
+            "metrics/recall": results[1],
+            "metrics/mAP_0.5": results[2],
+            "metrics/mAP_0.5:0.95": results[3],
+            "x/lr0": self.opt_cfg.lr0 * self.opt_cfg.lf(self.epoch),
+        }
+        for k, meter in self.meter.meters.items():
+            metrics[f"train/{k}_loss"] = meter.avg
+        self.callbacks.run("on_fit_epoch_end", metrics, self.epoch)
 
     def _write_results_row(self, results, fi):
         new = not self.results_csv.exists()

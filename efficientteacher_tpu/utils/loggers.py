@@ -26,6 +26,7 @@ except Exception:  # pragma: no cover
 class Loggers:
     def __init__(self, save_dir: Path, cfg=None, include=("csv", "tb")):
         self.save_dir = Path(save_dir)
+        self.write_csv = "csv" in include
         self.csv_path = self.save_dir / "results.csv"
         self.keys = [
             "train/box_loss", "train/obj_loss", "train/cls_loss",
@@ -55,14 +56,15 @@ class Loggers:
 
     # -- hook methods (registered on Callbacks by name) ---------------------
     def on_fit_epoch_end(self, metrics: Dict[str, float], epoch: int):
-        row = {"epoch": epoch, **metrics}
-        new = not self.csv_path.exists()
-        with open(self.csv_path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=["epoch"] + self.keys,
-                               extrasaction="ignore")
-            if new:
-                w.writeheader()
-            w.writerow(row)
+        if self.write_csv:
+            row = {"epoch": epoch, **metrics}
+            new = not self.csv_path.exists()
+            with open(self.csv_path, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=["epoch"] + self.keys,
+                                   extrasaction="ignore")
+                if new:
+                    w.writeheader()
+                w.writerow(row)
         if self.tb is not None:
             import tensorflow as tf
 
