@@ -293,6 +293,15 @@ class SSODTrainer(Trainer):
         if fi > self.best_fitness:
             self.best_fitness = fi
         self._write_results_row(results, fi)
+        metrics = {
+            "metrics/precision": results[0],
+            "metrics/recall": results[1],
+            "metrics/mAP_0.5": results[2],
+            "metrics/mAP_0.5:0.95": results[3],
+        }
+        for k, meter in self.meter.meters.items():
+            metrics[f"train/{k}"] = meter.avg
+        self.callbacks.run("on_fit_epoch_end", metrics, self.epoch)
         if not self.nosave:
             self._save_ckpt("last.ckpt", fi)
             if fi == self.best_fitness:
