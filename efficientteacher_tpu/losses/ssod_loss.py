@@ -98,8 +98,14 @@ def compute_ssod_loss(
     tl = thr_low[cls_idx]
     reliable = pseudo_mask & (conf >= th)
     uncertain = pseudo_mask & ~reliable & (conf >= tl)
-    uc_obj = uncertain & (obj_conf >= 0.99)
-    uc_cls = uncertain & (cls_conf >= 0.99)
+    # uncertain-obj/cls subsets are only collected under
+    # pseudo_label_with_obj (reference select_targets, ssod_loss.py:157-166)
+    if lc.pseudo_label_with_obj:
+        uc_obj = uncertain & (obj_conf >= 0.99)
+        uc_cls = uncertain & (cls_conf >= 0.99)
+    else:
+        uc_obj = jnp.zeros_like(uncertain)
+        uc_cls = jnp.zeros_like(uncertain)
     uc_score = jnp.where(lc.pseudo_label_with_obj, obj_conf, conf)
 
     # single dense assignment; score/category data rides in `extra`

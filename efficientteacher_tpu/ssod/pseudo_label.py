@@ -36,6 +36,13 @@ class PseudoLabels(NamedTuple):
     labels: jnp.ndarray   # (B, max_pl, 8)
     mask: jnp.ndarray     # (B, max_pl) bool
     invalid: jnp.ndarray  # () bool - nothing survived in the whole batch
+    # pre-warp NMS detections: LabelMatch accumulates EVERY NMS detection's
+    # (conf, cls), not only those surviving the M-warp/box_candidates filter
+    # (reference utils/labelmatch.py create_pseudo_label_online_with_gt
+    # harvests scores before online_label_transform, :283-299)
+    nms_conf: jnp.ndarray   # (B, max_pl)
+    nms_cls: jnp.ndarray    # (B, max_pl)
+    nms_valid: jnp.ndarray  # (B, max_pl) bool
 
 
 def _warp_one_image(det, valid, m_s, img_size: float):
@@ -127,7 +134,9 @@ def create_pseudo_labels(
     )(out.detections, out.valid, m_s)
     labels = jnp.where(keep[..., None], labels, 0.0)
     return PseudoLabels(
-        labels=labels, mask=keep, invalid=~jnp.any(keep)
+        labels=labels, mask=keep, invalid=~jnp.any(keep),
+        nms_conf=out.detections[..., 4], nms_cls=out.detections[..., 5],
+        nms_valid=out.valid,
     )
 
 
@@ -156,12 +165,13 @@ def _class_agnostic_merge(dets, valids, max_pl: int, iou_thres: float):
         keep = greedy_nms_keep(det_s[:, :4], valid_s, iou_thres,
                                tile=min(256, k))
         slots = jnp.cumsum(keep) - 1
-        slots = jnp.where(keep, slots, k)
+        # dropped/overflow rows keep an out-of-range sentinel so mode='drop'
+        # discards them — clipping would scatter 0.0 into slot max_pl-1 and
+        # could zero the last valid detection (same scheme as
+        # ops/nms.py _compact_keep)
+        slots = jnp.where(keep & (slots < max_pl), slots, max_pl)
         out = jnp.zeros((max_pl, det.shape[-1]), det.dtype)
-        out = out.at[jnp.clip(slots, 0, max_pl - 1)].set(
-            jnp.where((keep & (slots < max_pl))[:, None], det_s, 0.0),
-            mode="drop",
-        )
+        out = out.at[slots].set(det_s, mode="drop")
         n = jnp.minimum(keep.sum(), max_pl)
         return out, jnp.arange(max_pl) < n
 
@@ -210,4 +220,7 @@ def create_pseudo_labels_multi(
         functools.partial(_warp_one_image, img_size=float(img_size))
     )(merged, mvalid, m_s)
     labels = jnp.where(keep[..., None], labels, 0.0)
-    return PseudoLabels(labels=labels, mask=keep, invalid=~jnp.any(keep))
+    return PseudoLabels(
+        labels=labels, mask=keep, invalid=~jnp.any(keep),
+        nms_conf=merged[..., 4], nms_cls=merged[..., 5], nms_valid=mvalid,
+    )

@@ -60,6 +60,11 @@ class SSODBatchOut(NamedTuple):
     pseudo_labels: jnp.ndarray  # (B, max_pl, 8) [cls, xywhn, conf, obj, clsc]
     pseudo_mask: jnp.ndarray    # (B, max_pl) bool
     pseudo_count: jnp.ndarray   # () int32
+    # pre-warp NMS (conf, cls, valid) for LabelMatch score collection
+    # (reference accumulates every NMS detection, utils/labelmatch.py:283-299)
+    nms_conf: jnp.ndarray       # (B, max_pl)
+    nms_cls: jnp.ndarray        # (B, max_pl)
+    nms_valid: jnp.ndarray      # (B, max_pl) bool
 
 
 def make_ssod_train_step(
@@ -99,10 +104,13 @@ def make_ssod_train_step(
     ):
         bs_sup = sup_images.shape[0]
 
-        # 1-2. teacher pseudo labels on the weak view (no grad)
+        # 1-2. teacher pseudo labels on the weak view (no grad).
+        # Pseudo labels come from the PRIMARY EMA (reference
+        # ssod_trainer.py:595-606 uses self.ema.ema); semi_ema is only for
+        # validation/checkpointing (ssod_trainer.py:339-419).
         teacher_vars = {
-            "params": state.semi_ema.params,
-            "batch_stats": state.semi_ema.batch_stats,
+            "params": state.ema.params,
+            "batch_stats": state.ema.batch_stats,
         }
         tx = un_weak.astype(compute_dtype) / norm_scale
         (decoded, _), _ = model.apply(
@@ -205,6 +213,9 @@ def make_ssod_train_step(
             pseudo_labels=pl.labels,
             pseudo_mask=pl.mask,
             pseudo_count=pl.mask.sum(),
+            nms_conf=pl.nms_conf,
+            nms_cls=pl.nms_cls,
+            nms_valid=pl.nms_valid,
         )
         return new_state, out
 

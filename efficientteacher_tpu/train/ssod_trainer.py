@@ -63,6 +63,18 @@ class SSODTrainer(Trainer):
             str(cfg.SSOD.pseudo_label_type) == "LabelMatch"
         )
         self.teacher_seeded = False
+        # monotonic batch counter shared by the burn-in and mean-teacher
+        # phases so the warmup/accumulate interpolation never jumps when the
+        # target-loader length differs from self.nb (reference counts ni
+        # over a single nb-based axis)
+        self.global_step = None
+
+    def _next_ni(self) -> int:
+        if self.global_step is None:
+            self.global_step = self.nb * self.start_epoch
+        else:
+            self.global_step += 1
+        return self.global_step
 
     def build_model(self, cfg):
         super().build_model(cfg)
@@ -195,7 +207,7 @@ class SSODTrainer(Trainer):
         target_iter = iter(itertools.cycle(self.target_loader)) \
             if self.with_da_loss else None
         for i, batch in enumerate(self.train_loader):
-            ni = i + self.nb * self.epoch
+            ni = self._next_ni()
             sched = self._schedule(ni)
             t_imgs = (
                 jnp.asarray(next(target_iter)["images_ori"])
@@ -230,7 +242,7 @@ class SSODTrainer(Trainer):
             if i >= n_iter:
                 break
             sbatch = next(labeled_iter)
-            ni = i + n_iter * self.epoch
+            ni = self._next_ni()
             sched = self._schedule(ni)
             self.state, out = self.ssod_step(
                 self.state,
@@ -244,8 +256,13 @@ class SSODTrainer(Trainer):
             )
             pl_np = np.asarray(out.pseudo_labels)
             mask_np = np.asarray(out.pseudo_mask)
+            # LabelMatch sees every pre-warp NMS detection's (conf, cls) —
+            # not just M-warp survivors — matching the reference's
+            # score_list_epoch harvest (utils/labelmatch.py:283-299)
+            nms_valid = np.asarray(out.nms_valid)
             self.label_match.collect(
-                np.where(mask_np, pl_np[..., 5], 0.0), pl_np[..., 0]
+                np.where(nms_valid, np.asarray(out.nms_conf), 0.0),
+                np.asarray(out.nms_cls),
             )
             if i % 50 == 0:
                 metrics = {k: float(v) for k, v in out.metrics.items()
