@@ -551,6 +551,7 @@ class BatchLoader:
                     "images": imgs, "labels": labels, "mask": mask,
                     "shapes": [it[3] for it in items],
                     "indices": bidx,
+                    "paths": [self.ds.img_files[i] for i in bidx],
                 })
             q.put(stop)
 
@@ -671,6 +672,7 @@ class RectBatchLoader(BatchLoader):
                 "mask": np.stack(masks),
                 "shapes": shapes,
                 "indices": bidx,
+                "paths": [self.ds.img_files[i] for i in bidx],
             }
         self.epoch += 1
 

@@ -78,14 +78,23 @@ def run(
     save_json: Optional[str] = None,
     coco_gt_json: Optional[str] = None,
     confusion: bool = False,
+    is_coco: bool = False,
 ):
     """Evaluate `model(variables)` over `loader`. Returns
     ((mp, mr, map50, map), per_class_maps, cls_thr).
 
-    save_json: path for COCO-format predictions (reference val.py:427-452;
-    pycocotools COCOeval runs on it when that package is present).
+    save_json: path for COCO-format predictions with reference semantics —
+    image_id from the filename stem (reference val.py:67-74) and, when
+    is_coco, category_id through the 80->91 map (reference val.py:263).
+    COCOeval runs on it when coco_gt_json is given: official pycocotools if
+    present, else the vendor-free re-scorer in eval/coco.py.
     confusion: also accumulate a ConfusionMatrix (reference val.py)."""
+    from .coco import (coco80_to_coco91_class, coco_image_id,
+                       detections_to_json, run_cocoeval)
     from .metrics import ConfusionMatrix
+
+    class_map = (coco80_to_coco91_class() if is_coco
+                 else list(range(max(nc, 1000))))
 
     iouv = np.linspace(0.5, 0.95, 10)
     stats = []
@@ -133,16 +142,11 @@ def run(
             if cm is not None:
                 cm.process_batch(det, lxyxy)
             if save_json is not None and len(det):
-                img_id = batch["indices"][bi]
-                for *xyxy, conf, cls in det:
-                    json_preds.append({
-                        "image_id": int(img_id),
-                        "category_id": int(cls),
-                        "bbox": [float(xyxy[0]), float(xyxy[1]),
-                                 float(xyxy[2] - xyxy[0]),
-                                 float(xyxy[3] - xyxy[1])],
-                        "score": round(float(conf), 5),
-                    })
+                paths = batch.get("paths")
+                img_id = coco_image_id(
+                    paths[bi] if paths else None, batch["indices"][bi]
+                )
+                json_preds.extend(detections_to_json(det, img_id, class_map))
             correct = process_batch(det, lxyxy, iouv)
             stats.append((
                 correct,
@@ -156,21 +160,11 @@ def run(
 
         with open(save_json, "w") as f:
             json.dump(json_preds, f)
-        # official COCOeval when pycocotools + an annotation file are
-        # available (reference val.py:427-452)
+        # COCOeval on the saved JSON (reference val.py:427-452); falls back
+        # to the vendor-free re-scorer when pycocotools is absent
         if coco_gt_json:
-            try:
-                from pycocotools.coco import COCO
-                from pycocotools.cocoeval import COCOeval
-
-                gt = COCO(coco_gt_json)
-                dt = gt.loadRes(save_json)
-                ev = COCOeval(gt, dt, "bbox")
-                ev.evaluate()
-                ev.accumulate()
-                ev.summarize()
-            except ImportError:
-                pass
+            j50, j = run_cocoeval(save_json, coco_gt_json)
+            print(f"COCOeval: mAP@0.5 {j50:.4f}  mAP@[.5:.95] {j:.4f}")
 
     stats = [np.concatenate(x, 0) for x in zip(*stats)]
     if len(stats) and stats[0].any():

@@ -1,0 +1,234 @@
+"""EXTERNAL parity anchors: the actual reference torch package.
+
+Every other parity test in this suite checks against oracles re-derived
+from *reading* the reference; a shared misreading would pass silently.
+These tests instead instantiate the real reference code (torch CPU) via
+tests/ref_compat.py and compare numerically:
+
+  - Model forward (reference models/detector/yolo.py:45): random-init
+    reference weights exported through utils/torch_import.py must give the
+    same raw per-scale maps AND the same eval decode in flax.
+  - ComputeLoss (reference models/loss/loss.py:93): identical (pred,
+    targets) must give the same box/obj/cls components.
+  - non_max_suppression (reference utils/general.py:994): identical
+    decoded predictions must keep the same rows.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from efficientteacher_tpu.configs import get_cfg  # noqa: E402
+from efficientteacher_tpu.losses.yolov5_loss import (  # noqa: E402
+    YoloV5LossConfig, compute_loss,
+)
+from efficientteacher_tpu.models import build_model  # noqa: E402
+from efficientteacher_tpu.models.spec import spec_from_cfg  # noqa: E402
+from efficientteacher_tpu.ops import nms as our_nms  # noqa: E402
+from efficientteacher_tpu.utils.checkpoint import intersect_trees  # noqa: E402
+from efficientteacher_tpu.utils.torch_import import (  # noqa: E402
+    state_dict_to_flax,
+)
+
+from ref_compat import REF_ROOT, build_ref_model, load_reference  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference checkout not present"
+)
+
+
+def _perturb_bn_stats(model, seed=1):
+    """Randomize BN running stats so batch_stats mapping is observable."""
+    g = torch.Generator().manual_seed(seed)
+    for mod in model.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.running_mean.uniform_(-0.5, 0.5, generator=g)
+            mod.running_var.uniform_(0.5, 2.0, generator=g)
+
+
+def _to_flax_variables(ref_model):
+    sd = {
+        k: v.detach().cpu().float().numpy()
+        for k, v in ref_model.state_dict().items()
+    }
+    return state_dict_to_flax(sd)
+
+
+def _build_ours(yaml_rel: str):
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(REF_ROOT, "configs", yaml_rel))
+    spec = spec_from_cfg(cfg)
+    return build_model(spec, ssod=False), spec, cfg
+
+
+def _forward_parity(yaml_rel: str, img: int = 64, atol: float = 2e-4):
+    ref_model, _ = build_ref_model(yaml_rel)
+    _perturb_bn_stats(ref_model)
+    model, spec, _ = _build_ours(yaml_rel)
+
+    tree = _to_flax_variables(ref_model)
+    x = jnp.zeros((1, img, img, 3))
+    init = model.init(jax.random.PRNGKey(0), x, train=False)
+    params, c1, t1 = intersect_trees(tree["params"], init["params"])
+    stats, c2, t2 = intersect_trees(tree["batch_stats"], init["batch_stats"])
+    # every flax leaf must be fed from the torch state_dict — no silent
+    # fallback to random init
+    assert c1 == t1, f"params matched {c1}/{t1}"
+    assert c2 == t2, f"batch_stats matched {c2}/{t2}"
+
+    rng = np.random.default_rng(0)
+    xn = rng.standard_normal((1, 3, img, img), np.float32)
+    with torch.no_grad():
+        t_dec, t_raw = ref_model(torch.from_numpy(xn))
+
+    variables = {
+        "params": jax.tree.map(jnp.asarray, params),
+        "batch_stats": jax.tree.map(jnp.asarray, stats),
+    }
+    o_dec, o_raw = model.apply(
+        variables, jnp.asarray(xn.transpose(0, 2, 3, 1)), train=False
+    )
+
+    assert len(o_raw) == len(t_raw)
+    for i, (tr, orr) in enumerate(zip(t_raw, o_raw)):
+        want = tr.numpy()  # (B, na, ny, nx, no)
+        got = np.asarray(orr, np.float32).transpose(0, 3, 1, 2, 4)
+        np.testing.assert_allclose(got, want, atol=atol, rtol=1e-4,
+                                   err_msg=f"raw scale {i}")
+    np.testing.assert_allclose(
+        np.asarray(o_dec, np.float32), t_dec.numpy(), atol=atol * 10,
+        rtol=1e-4, err_msg="eval decode",
+    )
+
+
+def test_forward_parity_yolov5s():
+    _forward_parity("sup/public/yolov5s_coco.yaml")
+
+
+def test_forward_parity_yolov5l():
+    _forward_parity("sup/public/yolov5l_coco.yaml")
+
+
+def test_loss_parity_yolov5():
+    """Identical (pred, targets) through both ComputeLoss implementations
+    (reference models/loss/loss.py:138-209 default_loss)."""
+    yaml_rel = "sup/public/yolov5s_coco.yaml"
+    ref_model, ref_cfg = build_ref_model(yaml_rel)
+    ns = load_reference()
+    ref_loss = ns.ComputeLoss(ref_model, ref_cfg)
+
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(REF_ROOT, "configs", yaml_rel))
+    spec = spec_from_cfg(cfg)
+    lc = YoloV5LossConfig.from_cfg(cfg, nl=spec.nl)
+    s = np.asarray(spec.strides, np.float32)[:, None, None]
+    anchors_grid = (
+        np.asarray(spec.anchors, np.float32).reshape(spec.nl, -1, 2) / s
+    )
+
+    B, img, nc, na = 2, 64, cfg.Dataset.nc, 3
+    no = nc + 5
+    rng = np.random.default_rng(3)
+    preds_t, preds_j = [], []
+    for st in spec.strides:
+        g = img // int(st)
+        raw = rng.standard_normal((B, na, g, g, no)).astype(np.float32) * 0.7
+        preds_t.append(torch.from_numpy(raw))
+        preds_j.append(jnp.asarray(raw.transpose(0, 2, 3, 1, 4)))
+
+    # well-separated boxes (scatter collisions resolve differently: torch
+    # last-write vs our max — identical when cells are unique)
+    targets = np.array(
+        [
+            [0, 3, 0.25, 0.25, 0.20, 0.30],
+            [0, 17, 0.75, 0.60, 0.40, 0.35],
+            [1, 0, 0.50, 0.30, 0.10, 0.10],
+            [1, 42, 0.20, 0.80, 0.55, 0.25],
+            [1, 9, 0.85, 0.15, 0.08, 0.22],
+        ],
+        np.float32,
+    )
+    want_total, want = ref_loss(preds_t, torch.from_numpy(targets))
+
+    M = 8
+    labels = np.zeros((B, M, 5), np.float32)
+    mask = np.zeros((B, M), bool)
+    for bi in range(B):
+        rows = targets[targets[:, 0] == bi][:, 1:]
+        labels[bi, : len(rows)] = rows
+        mask[bi, : len(rows)] = True
+
+    got_total, got = compute_loss(
+        preds_j, jnp.asarray(labels), jnp.asarray(mask), anchors_grid, lc
+    )
+    for k in ("box", "obj", "cls"):
+        np.testing.assert_allclose(
+            float(got[k]), float(want[k]), rtol=2e-4, atol=1e-6,
+            err_msg=f"loss component {k}",
+        )
+    np.testing.assert_allclose(
+        float(got_total), float(want_total), rtol=2e-4, atol=1e-6
+    )
+
+
+def _random_decoded_preds(rng, B=2, N=300, nc=20, img=640):
+    xy = rng.uniform(60, img - 60, (B, N, 2))
+    wh = rng.uniform(8, 120, (B, N, 2))
+    obj = rng.uniform(0, 1, (B, N, 1))
+    cls = rng.uniform(0, 1, (B, N, nc))
+    return np.concatenate([xy, wh, obj, cls], -1).astype(np.float32)
+
+
+@pytest.mark.parametrize("multi_label", [False, True])
+def test_nms_parity(multi_label):
+    """ops/nms.py vs reference utils/general.py:994 on identical preds."""
+    ns = load_reference()
+    rng = np.random.default_rng(11)
+    pred = _random_decoded_preds(rng)
+    conf, iou = 0.25, 0.5
+
+    want = ns.general.non_max_suppression(
+        torch.from_numpy(pred), conf_thres=conf, iou_thres=iou,
+        multi_label=multi_label,
+    )
+    got = our_nms.non_max_suppression(
+        jnp.asarray(pred), conf_thres=conf, iou_thres=iou,
+        multi_label=multi_label,
+    )
+    dets = np.asarray(got.detections)
+    valid = np.asarray(got.valid)
+    for bi in range(pred.shape[0]):
+        w = want[bi].numpy()
+        g = dets[bi][valid[bi]]
+        assert len(g) == len(w), f"image {bi}: {len(g)} vs {len(w)} kept"
+        # same descending-conf order
+        np.testing.assert_allclose(g[:, 4], w[:, 4], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(g[:, :4], w[:, :4], rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(g[:, 5].astype(int),
+                                      w[:, 5].astype(int))
+
+
+def test_nms_parity_ssod_columns():
+    """non_max_suppression_ssod (reference utils/general.py:887) carries
+    [xyxy, conf, cls, obj_conf, cls_conf]."""
+    ns = load_reference()
+    rng = np.random.default_rng(12)
+    pred = _random_decoded_preds(rng, B=1, N=200, nc=8)
+    want = ns.general.non_max_suppression_ssod(
+        torch.from_numpy(pred), conf_thres=0.2, iou_thres=0.5
+    )
+    got = our_nms.non_max_suppression_ssod(
+        jnp.asarray(pred), conf_thres=0.2, iou_thres=0.5
+    )
+    dets = np.asarray(got.detections)[0][np.asarray(got.valid)[0]]
+    w = want[0].numpy()
+    assert len(dets) == len(w)
+    np.testing.assert_allclose(dets[:, :4], w[:, :4], rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(dets[:, 6], w[:, 6], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dets[:, 7], w[:, 7], rtol=1e-5, atol=1e-5)

@@ -58,11 +58,13 @@ def main(opt):
         variables = load_eval_variables(opt.weights)
     loader = create_dataloader(cfg, "val", augment=False,
                                batch_size=opt.batch_size)
+    # COCO val set -> 80->91 category ids in the JSON (reference val.py:263)
+    is_coco = "coco" in str(cfg.Dataset.val).lower() and spec.nc == 80
     out = validator.run(
         model, variables, loader, nc=spec.nc,
         conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
         save_json=opt.save_json, coco_gt_json=opt.coco_gt,
-        confusion=opt.confusion,
+        confusion=opt.confusion, is_coco=is_coco,
     )
     results, maps, cls_thr = out[:3]
     print("P=%.4f R=%.4f mAP50=%.4f mAP50-95=%.4f" % results)
