@@ -179,6 +179,13 @@ _C.Dataset.batch_size = 96
 _C.Dataset.img_size = 640
 _C.Dataset.rect = False
 _C.Dataset.workers = 16
+# batch engine: 'auto' | 'process' (forked workers + shared-memory slots) |
+# 'thread' (GIL-bound producers; the only option on 1-core hosts)
+_C.Dataset.loader = 'auto'
+# device-side augmentation: host only decodes+letterboxes (RAM-cacheable);
+# mosaic-4/perspective/HSV/flips run on-TPU (ops/augment_device.py). Lifts
+# the host pipeline bottleneck on low-core hosts.
+_C.Dataset.device_aug = False
 _C.Dataset.quad = False
 _C.Dataset.nc = 80
 _C.Dataset.np = 0               # number of keypoints per instance
@@ -288,6 +295,8 @@ _C.SSOD.ssod_hyp.hsv_v = 0.4
 _C.SSOD.ssod_hyp.with_gt = False
 _C.SSOD.ssod_hyp.cutout = 0.9
 _C.SSOD.ssod_hyp.autoaugment = 0.9
+# which AutoAugment policy table the strong view uses
+_C.SSOD.ssod_hyp.autoaugment_policy = 'v5'
 
 _C.NAS = CN()
 _C.NAS.use_nas = False

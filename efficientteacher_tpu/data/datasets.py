@@ -505,7 +505,8 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True, prefetch: int = 4,
-                 workers: int = 2, sampler_type: str = "normal"):
+                 workers: int = 2, sampler_type: str = "normal",
+                 mode: str = "auto"):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -515,6 +516,10 @@ class BatchLoader:
         self.epoch = 0
         self.seed = seed
         self.sampler_type = sampler_type
+        # 'process' forks worker processes writing into a shared-memory slot
+        # ring; 'thread' keeps GIL-bound producers; 'auto' picks process
+        # when it can pay off (multi-core host, fork available)
+        self.mode = mode
 
     def __len__(self):
         n = len(self.ds)
@@ -523,45 +528,68 @@ class BatchLoader:
     def _indices(self):
         rng = random.Random(self.seed + self.epoch)
         if self.sampler_type == "class_balance":
-            return class_balanced_indices(self.ds.labels, self.ds.nc, rng)
-        if self.sampler_type == "dir_balance":
-            return dir_balanced_indices(self.ds.img_files, rng)
-        idx = list(range(len(self.ds)))
-        if self.shuffle:
-            rng.shuffle(idx)
-        return idx
+            idx = class_balanced_indices(self.ds.labels, self.ds.nc, rng)
+        elif self.sampler_type == "dir_balance":
+            idx = dir_balanced_indices(self.ds.img_files, rng)
+        else:
+            idx = list(range(len(self.ds)))
+            if self.shuffle:
+                rng.shuffle(idx)
+        # multi-host: every process computes the identical global order
+        # (same seed/epoch) and takes a disjoint strided share; the global
+        # batch is the concatenation of the per-host batches
+        from ..parallel.distributed import process_slice
+
+        return process_slice(idx)
+
+    def _build_batch(self, bidx) -> Dict[str, np.ndarray]:
+        items = [self.ds[i] for i in bidx]
+        return {
+            "images": np.stack([it[0] for it in items]),
+            "labels": np.stack([it[1] for it in items]),
+            "mask": np.stack([it[2] for it in items]),
+            "shapes": [it[3] for it in items],
+            "indices": bidx,
+            "paths": [self.ds.img_files[i] for i in bidx],
+        }
+
+    def _reseed(self, wid: int):
+        """Per-worker augmentation RNG (forked children would otherwise
+        share the parent's stream)."""
+        self.ds.rng = random.Random(
+            (self.seed + 1) * 7919 + self.epoch * 131 + wid
+        )
+
+    def _use_processes(self) -> bool:
+        from .parallel_loader import _FORK_OK
+
+        if self.mode == "process":
+            return _FORK_OK
+        if self.mode == "thread":
+            return False
+        return (
+            _FORK_OK and self.workers > 1 and (os.cpu_count() or 1) > 2
+        )
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from .parallel_loader import (iter_batches_processes,
+                                      iter_batches_threads)
+
         idx = self._indices()
         batches = [
             idx[i : i + self.bs] for i in range(0, len(idx), self.bs)
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.bs]
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
-
-        def producer():
-            for bidx in batches:
-                items = [self.ds[i] for i in bidx]
-                imgs = np.stack([it[0] for it in items])
-                labels = np.stack([it[1] for it in items])
-                mask = np.stack([it[2] for it in items])
-                q.put({
-                    "images": imgs, "labels": labels, "mask": mask,
-                    "shapes": [it[3] for it in items],
-                    "indices": bidx,
-                    "paths": [self.ds.img_files[i] for i in bidx],
-                })
-            q.put(stop)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        if self._use_processes():
+            it = iter_batches_processes(
+                self._build_batch, batches, self.workers, self._reseed
+            )
+        else:
+            it = iter_batches_threads(
+                self._build_batch, batches, self.workers, self.prefetch
+            )
+        yield from it
         self.epoch += 1
 
 
@@ -599,13 +627,17 @@ def create_dataloader(cfg, split: str = "train", augment: Optional[bool] = None,
             shuffle=True, seed=seed, drop_last=True,
             sampler_type=cfg.Dataset.sampler_type,
         )
+    from ..parallel.distributed import per_process_batch
+
     return BatchLoader(
         ds,
-        batch_size or cfg.Dataset.batch_size,
+        per_process_batch(batch_size or cfg.Dataset.batch_size),
         shuffle=augment,
         seed=seed,
         drop_last=augment,
         sampler_type=cfg.Dataset.sampler_type if augment else "normal",
+        workers=int(cfg.Dataset.workers),
+        mode=str(cfg.Dataset.loader) if augment else "thread",
     )
 
 

@@ -145,7 +145,8 @@ class LoadImagesAndFakeLabels(LoadImagesAndLabels):
 
                 strong = np.ascontiguousarray(strong)
                 strong, targets = distort_image_with_autoaugment(
-                    strong, targets, "v5", self.rng
+                    strong, targets,
+                    hyp.get("autoaugment_policy", "v5"), self.rng,
                 )
         else:
             strong = weak.copy()
@@ -173,26 +174,22 @@ class LoadImagesAndFakeLabels(LoadImagesAndLabels):
 
 class SSODBatchLoader(BatchLoader):
     """Batches of (strong, labels, mask, weak, M_s); M_s[0] stamped with the
-    in-batch index (reference collate_fn, datasets_ssod.py:593-602)."""
+    in-batch index (reference collate_fn, datasets_ssod.py:593-602).
+    Prefetch/worker engine inherited from BatchLoader — the dual-view
+    pipeline is 2x the host work of the labeled one, so it benefits most."""
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        idx = self._indices()
-        batches = [idx[i : i + self.bs] for i in range(0, len(idx), self.bs)]
-        if self.drop_last:
-            batches = [b for b in batches if len(b) == self.bs]
-        for bidx in batches:
-            items = [self.ds[i] for i in bidx]
-            m_s = np.stack([it[4] for it in items])
-            m_s[:, 0] = np.arange(len(items))
-            yield {
-                "images": np.stack([it[0] for it in items]),
-                "labels": np.stack([it[1] for it in items]),
-                "mask": np.stack([it[2] for it in items]),
-                "images_ori": np.stack([it[3] for it in items]),
-                "M_s": m_s,
-                "indices": bidx,
-            }
-        self.epoch += 1
+    def _build_batch(self, bidx) -> Dict[str, np.ndarray]:
+        items = [self.ds[i] for i in bidx]
+        m_s = np.stack([it[4] for it in items])
+        m_s[:, 0] = np.arange(len(items))
+        return {
+            "images": np.stack([it[0] for it in items]),
+            "labels": np.stack([it[1] for it in items]),
+            "mask": np.stack([it[2] for it in items]),
+            "images_ori": np.stack([it[3] for it in items]),
+            "M_s": m_s,
+            "indices": bidx,
+        }
 
 
 def create_target_dataloader(cfg, batch_size: Optional[int] = None,
@@ -212,7 +209,11 @@ def create_target_dataloader(cfg, batch_size: Optional[int] = None,
         seed=seed,
         with_gt=with_gt,
     )
+    from ..parallel.distributed import per_process_batch
+
     return SSODBatchLoader(
-        ds, batch_size or cfg.Dataset.batch_size, shuffle=True, seed=seed,
-        drop_last=True,
+        ds, per_process_batch(batch_size or cfg.Dataset.batch_size),
+        shuffle=True, seed=seed,
+        drop_last=True, workers=int(cfg.Dataset.workers),
+        mode=str(cfg.Dataset.loader),
     )

@@ -1,0 +1,175 @@
+"""Multiprocess batch engine: fork workers + shared-memory slot ring.
+
+Replaces the reference's torch DataLoader worker pool (utils/datasets.py
+InfiniteDataLoader, num_workers) for this framework's host pipeline. The
+GIL makes Python threads insufficient for cv2 mosaic at TPU train rates
+(VERDICT r1: 4 decodes/sample at 640px, doubled for the SSOD dual view), so
+train loaders fork `workers` processes that each build whole batches and
+write the stacked arrays into pre-allocated shared-memory slots; the parent
+never copies an image byte — it yields numpy views into the slot and
+recycles the slot on the next iteration (by which point the consumer has
+uploaded the batch to device).
+
+Design notes:
+  - fork start method: the dataset (file lists, label arrays, RAM cache) is
+    inherited copy-on-write — no pickling, no re-import of jax in children.
+  - children only touch numpy/cv2 (cv2.setNumThreads(0) per worker, the
+    yolov5 fork-safety convention); they never call into JAX.
+  - fixed shapes everywhere (CLAUDE.md invariant) make the slot ring
+    possible: every batch of a loader has identical array shapes/dtypes.
+  - batch order is completion order (train batches are shuffled anyway);
+    the `indices` meta still records which samples a batch holds.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import multiprocessing
+import os
+import queue
+import random
+import threading
+from typing import Callable, Dict, Iterator, List
+
+import numpy as np
+
+_FORK_OK = hasattr(os, "fork")
+
+
+def _alloc_slot(template: Dict[str, np.ndarray]):
+    """One shared-memory slot: a RawArray-backed view per array field."""
+    views = {}
+    for k, v in template.items():
+        raw = multiprocessing.RawArray(ctypes.c_uint8, v.nbytes)
+        views[k] = np.frombuffer(raw, dtype=v.dtype).reshape(v.shape)
+    return views
+
+
+def iter_batches_processes(
+    build_batch: Callable[[List[int]], Dict],
+    batches: List[List[int]],
+    workers: int,
+    reseed: Callable[[int], None],
+    n_slots: int = 0,
+) -> Iterator[Dict]:
+    """Yield build_batch(bidx) for every bidx in `batches`, built by forked
+    worker processes through a shared-memory slot ring."""
+    if not batches:
+        return
+    workers = max(1, min(workers, len(batches)))
+    n_slots = n_slots or max(2 * workers, 4)
+
+    # probe: the first batch is built in-parent and defines the slot layout
+    first = build_batch(batches[0])
+    arrays = {k: v for k, v in first.items() if isinstance(v, np.ndarray)}
+    ctx = multiprocessing.get_context("fork")
+    slots = [_alloc_slot(arrays) for _ in range(n_slots)]
+    task_q = ctx.Queue()
+    done_q = ctx.Queue()
+    free_q = ctx.Queue()
+    for sid in range(n_slots):
+        free_q.put(sid)
+    for b in batches[1:]:
+        task_q.put(b)
+    for _ in range(workers):
+        task_q.put(None)
+
+    def worker(wid: int):
+        try:
+            import cv2
+
+            cv2.setNumThreads(0)
+        except Exception:
+            pass
+        reseed(wid)
+        while True:
+            task = task_q.get()
+            if task is None:
+                break
+            batch = build_batch(task)
+            sid = free_q.get()
+            for k in arrays:
+                slots[sid][k][...] = batch[k]
+            meta = {k: v for k, v in batch.items() if k not in arrays}
+            done_q.put((sid, meta))
+        done_q.put(None)
+
+    procs = [ctx.Process(target=worker, args=(w,), daemon=True)
+             for w in range(workers)]
+    for p in procs:
+        p.start()
+    try:
+        yield first
+        finished = 0
+        remaining = len(batches) - 1
+        while remaining > 0:
+            msg = done_q.get()
+            if msg is None:
+                finished += 1
+                if finished >= workers and remaining > 0:
+                    raise RuntimeError(
+                        "loader workers exited early "
+                        f"({remaining} batches missing)"
+                    )
+                continue
+            sid, meta = msg
+            out = dict(slots[sid])
+            out.update(meta)
+            yield out
+            # consumer resumed -> previous batch uploaded; recycle the slot
+            free_q.put(sid)
+            remaining -= 1
+    finally:
+        for p in procs:
+            if p.is_alive():
+                p.terminate()
+        for p in procs:
+            p.join(timeout=5)
+
+
+def iter_batches_threads(
+    build_batch: Callable[[List[int]], Dict],
+    batches: List[List[int]],
+    workers: int,
+    prefetch: int = 4,
+) -> Iterator[Dict]:
+    """Thread-pool fallback (single-core hosts, platforms without fork):
+    `workers` producer threads, bounded output queue, completion order."""
+    if not batches:
+        return
+    workers = max(1, min(workers, len(batches)))
+    out_q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, workers))
+    task_it = iter(batches)
+    lock = threading.Lock()
+    errors: list = []
+
+    def producer():
+        while True:
+            with lock:
+                bidx = next(task_it, None)
+            if bidx is None:
+                break
+            try:
+                out_q.put(build_batch(bidx))
+            except BaseException as e:  # surface in consumer
+                errors.append(e)
+                break
+        out_q.put(None)
+
+    threads = [threading.Thread(target=producer, daemon=True)
+               for _ in range(workers)]
+    for t in threads:
+        t.start()
+    finished = 0
+    produced = 0
+    while finished < workers:
+        item = out_q.get()
+        if item is None:
+            finished += 1
+            continue
+        produced += 1
+        yield item
+    if errors:
+        raise errors[0]
+    if produced != len(batches):
+        raise RuntimeError(f"loader produced {produced}/{len(batches)}")

@@ -79,6 +79,8 @@ def run(
     coco_gt_json: Optional[str] = None,
     confusion: bool = False,
     is_coco: bool = False,
+    plots_dir=None,
+    names=(),
 ):
     """Evaluate `model(variables)` over `loader`. Returns
     ((mp, mr, map50, map), per_class_maps, cls_thr).
@@ -168,7 +170,9 @@ def run(
 
     stats = [np.concatenate(x, 0) for x in zip(*stats)]
     if len(stats) and stats[0].any():
-        p, r, ap, f1, ap_class, cls_thr = ap_per_class(*stats)
+        p, r, ap, f1, ap_class, cls_thr = ap_per_class(
+            *stats, plot_dir=plots_dir, names=names
+        )
         ap50, ap_all = ap[:, 0], ap.mean(1)
         mp, mr, map50, map_ = p.mean(), r.mean(), ap50.mean(), ap_all.mean()
         maps = np.zeros(nc)

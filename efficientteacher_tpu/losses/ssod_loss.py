@@ -203,3 +203,130 @@ def compute_ssod_loss(
     lcls = lcls * lc.cls_w
     loss = (lbox + lobj + lcls) * bs
     return loss, {"ss_box": lbox, "ss_obj": lobj, "ss_cls": lcls}
+
+
+def compute_ssod_ota_loss(
+    preds: Sequence[jnp.ndarray],
+    pseudo_labels: jnp.ndarray,  # (B, Mp, 8) [cls,xywhn,conf,obj_conf,cls_conf]
+    pseudo_mask: jnp.ndarray,    # (B, Mp)
+    thr_high: jnp.ndarray,
+    thr_low: jnp.ndarray,
+    anchors_grid: np.ndarray,
+    strides: Sequence[float],
+    img_size: int,
+    lc: SSODLossConfig,
+    top_k: int = 10,
+):
+    """SSOD OTA branch (reference ssod_loss.py:296-345 ota_loss with
+    targets.shape[1] > 6): reliable and uncertain pseudo labels each get an
+    independent SimOTA dynamic-k assignment over the find-3-positive
+    candidate lattice; reliable matches take box/cls + iou-soft obj targets,
+    uncertain matches write their pseudo score into tobj (or -1 when
+    ignore_obj) and the obj BCE is masked to tobj >= 0."""
+    from .yolov5_ota_loss import (ota_box_targets, ota_candidates,
+                                  simota_match)
+
+    cls_idx = pseudo_labels[..., 0].astype(jnp.int32)
+    conf = pseudo_labels[..., 5]
+    obj_conf = pseudo_labels[..., 6]
+    reliable = pseudo_mask & (conf >= thr_high[cls_idx])
+    uncertain = pseudo_mask & ~reliable & (conf >= thr_low[cls_idx])
+    uc_score = jnp.where(lc.pseudo_label_with_obj, obj_conf, conf)
+
+    # one candidate lattice over all pseudo labels; subset flags ride as
+    # extra columns so each slot knows its source target's category
+    extra = jnp.stack(
+        [uc_score, reliable.astype(jnp.float32),
+         uncertain.astype(jnp.float32)],
+        axis=-1,
+    )
+    labels_ext = jnp.concatenate([pseudo_labels[..., :5], extra], axis=-1)
+    grid_shapes = [(p.shape[1], p.shape[2]) for p in preds]
+    assignments = assign_all_scales(
+        labels_ext, pseudo_mask, grid_shapes, anchors_grid, lc.anchor_t,
+        single_targets=not lc.uncertain_aug,
+    )
+    cand = ota_candidates(preds, assignments, strides)
+    slot_rel = jnp.concatenate(
+        [a.valid & (a.extra[..., 1] > 0.5) for a in assignments], axis=1
+    )
+    slot_uc = jnp.concatenate(
+        [a.valid & (a.extra[..., 2] > 0.5) for a in assignments], axis=1
+    )
+
+    labels5 = pseudo_labels[..., :5]
+    gt_cls = cls_idx
+    gt_box_px = labels5[..., 1:5] * float(img_size)
+    fg_r, match_r = simota_match(gt_box_px, gt_cls, reliable, cand,
+                                 slot_rel, lc.nc, top_k)
+    fg_u, match_u = simota_match(gt_box_px, gt_cls, uncertain, cand,
+                                 slot_uc, lc.nc, top_k)
+
+    cp, cn = smooth_bce(lc.label_smoothing)
+
+    def obj_bce(logits, t):
+        if lc.focal_loss > 0:
+            return focal_bce_with_logits(logits, t, 1.5, pos_weight=lc.obj_pw)
+        return bce_with_logits(logits, t, lc.obj_pw)
+
+    lbox = 0.0
+    lobj = 0.0
+    lcls = 0.0
+    offset = 0
+    for i, (p, asn) in enumerate(zip(preds, assignments)):
+        p = p.astype(jnp.float32)
+        bsz, ny, nx, na, no = p.shape
+        ncell = ny * nx * na
+        k_i = cand.k_sizes[i]
+        fg_ri = jax.lax.dynamic_slice_in_dim(fg_r, offset, k_i, axis=1)
+        mt_ri = jax.lax.dynamic_slice_in_dim(match_r, offset, k_i, axis=1)
+        fg_ui = jax.lax.dynamic_slice_in_dim(fg_u, offset, k_i, axis=1)
+        mt_ui = jax.lax.dynamic_slice_in_dim(match_u, offset, k_i, axis=1)
+        offset += k_i
+
+        # reliable: CIoU box + cls against the MATCHED pseudo label
+        t_rel = ota_box_targets(labels5, mt_ri, asn, ny, nx, na)
+        pbox = cand.pbox_grid_all[i]
+        iou = bbox_iou(pbox, t_rel, x1y1x2y2=False, CIoU=True)
+        lbox = lbox + masked_mean(1.0 - iou, fg_ri)
+        if lc.nc > 1:
+            mcls = jnp.take_along_axis(gt_cls, mt_ri, axis=1)
+            onehot = jax.nn.one_hot(mcls, lc.nc)
+            t = onehot * cp + (1.0 - onehot) * cn
+            ce = bce_with_logits(cand.ps_all[i][..., 5 : 5 + lc.nc], t,
+                                 lc.cls_pw).mean(-1)
+            lcls = lcls + masked_mean(ce, fg_ri)
+
+        # tobj: reliable iou targets, then uncertain score/-1 overrides
+        score_iou = jax.lax.stop_gradient(jnp.clip(iou, 0.0, None))
+        flat_rel = jnp.where(fg_ri, asn.flat_cell, ncell)
+        tobj = jnp.zeros((bsz, ncell), jnp.float32)
+        tobj = jax.vmap(lambda t_, f, v: t_.at[f].max(v, mode="drop"))(
+            tobj, flat_rel, (1.0 - lc.gr) + lc.gr * score_iou
+        )
+        flat_uc = jnp.where(fg_ui, asn.flat_cell, ncell)
+        uc_flag = jnp.zeros((bsz, ncell), bool)
+        uc_flag = jax.vmap(lambda t_, f: t_.at[f].set(True, mode="drop"))(
+            uc_flag, flat_uc
+        )
+        if lc.ignore_obj:
+            tobj = jnp.where(uc_flag, -1.0, tobj)
+        else:
+            uc_val = jnp.take_along_axis(uc_score, mt_ui, axis=1)
+            uc_map = jnp.zeros((bsz, ncell), jnp.float32)
+            uc_map = jax.vmap(lambda t_, f, v: t_.at[f].max(v, mode="drop"))(
+                uc_map, flat_uc, jax.lax.stop_gradient(uc_val)
+            )
+            tobj = jnp.where(uc_flag, uc_map, tobj)
+
+        obj_logits = p[..., 4].reshape(bsz, ncell)
+        obji = masked_mean(obj_bce(obj_logits, jnp.clip(tobj, 0.0, None)),
+                           tobj >= 0.0)
+        lobj = lobj + obji * lc.balance[i]
+
+    bs = preds[0].shape[0]
+    lbox = lbox * lc.box_w
+    lobj = lobj * lc.obj_w
+    lcls = lcls * lc.cls_w
+    loss = (lbox + lobj + lcls) * bs
+    return loss, {"ss_box": lbox, "ss_obj": lobj, "ss_cls": lcls}

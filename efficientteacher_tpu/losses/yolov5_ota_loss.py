@@ -12,12 +12,14 @@ build_ota_targets (models/assigner/yolo_anchor_assigner.py:104-…):
      with the same weights/balance as the default loss
 
 Selected by cfg.Loss.assigner_type == 'SimOTA' with an anchor head
-(the yolov7s-simota zoo config).
+(the yolov7s-simota zoo config). The pooled-candidate / SimOTA pieces are
+factored out so the SSOD OTA branch (losses/ssod_loss.py
+compute_ssod_ota_loss, reference ssod_loss.py:296-345) reuses them.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +29,102 @@ from ..assigners.yolo_anchor import assign_all_scales
 from ..ops.boxes import bbox_iou
 from .common import bce_with_logits, masked_mean, smooth_bce
 from .yolov5_loss import YoloV5LossConfig, _gather_positives, decode_pred_boxes
+
+
+class OTACandidates(NamedTuple):
+    """Pooled per-slot candidate predictions across scales."""
+
+    ps_all: list          # per-scale (B, K_i, no) gathered raw predictions
+    pbox_grid_all: list   # per-scale (B, K_i, 4) decoded boxes, cell-relative
+    pbox_px: jnp.ndarray  # (B, K, 4) decoded boxes in image pixels
+    ps: jnp.ndarray       # (B, K, no)
+    k_sizes: list         # K_i per scale
+
+
+def ota_candidates(preds, assignments, strides) -> OTACandidates:
+    """Decode every candidate slot of the find-3-positive lattice to image
+    pixels (the 'pre_gen_gains' pooling in reference loss.py:219-227)."""
+    ps_all, pbox_grid_all, pbox_px_all, k_sizes = [], [], [], []
+    for i, (p, asn) in enumerate(zip(preds, assignments)):
+        p = p.astype(jnp.float32)
+        ps = _gather_positives(p, asn)               # (B, K_i, no)
+        pbox = decode_pred_boxes(ps, asn.anchor_wh)  # grid units, cell-rel
+        na_ = p.shape[3]
+        nx_ = p.shape[2]
+        cell_flat = asn.flat_cell // na_
+        gi = (cell_flat % nx_).astype(jnp.float32)
+        gj = (cell_flat // nx_).astype(jnp.float32)
+        abs_xy = (pbox[..., :2] + jnp.stack([gi, gj], -1)) * strides[i]
+        abs_wh = pbox[..., 2:4] * strides[i]
+        ps_all.append(ps)
+        pbox_grid_all.append(pbox)
+        pbox_px_all.append(jnp.concatenate([abs_xy, abs_wh], -1))
+        k_sizes.append(asn.valid.shape[1])
+    return OTACandidates(
+        ps_all=ps_all,
+        pbox_grid_all=pbox_grid_all,
+        pbox_px=jnp.concatenate(pbox_px_all, axis=1),
+        ps=jnp.concatenate(ps_all, axis=1),
+        k_sizes=k_sizes,
+    )
+
+
+def simota_match(gt_box_px, gt_cls, gt_mask, cand: OTACandidates,
+                 cand_valid, nc: int, top_k: int = 10):
+    """Per-image SimOTA dynamic-k matching over pooled candidates
+    (reference yolo_anchor_assigner.py build_ota_targets SimOTA core).
+
+    Returns (fg (B, K) bool, matched (B, K) int32 gt index)."""
+    k_total = cand_valid.shape[1]
+    kk = min(top_k, k_total)
+    m = gt_mask.shape[1]
+
+    def assign_one(gt_box, gt_c, gt_m, boxes, valid, obj_logit, cls_logit):
+        iou = bbox_iou(gt_box[:, None, :], boxes[None, :, :],
+                       x1y1x2y2=False)                      # (M, K)
+        iou = jnp.where(gt_m[:, None] & valid[None, :], iou, 0.0)
+        p = jax.nn.sigmoid(cls_logit) * jax.nn.sigmoid(obj_logit)[:, None]
+        q = jnp.sqrt(jnp.clip(p, 1e-12, 1.0))[None]
+        y = jax.nn.one_hot(gt_c, nc)[:, None, :]
+        bce = -(y * jnp.log(q)
+                + (1.0 - y) * jnp.log1p(-jnp.clip(q, 0, 1 - 1e-7)))
+        cost = bce.sum(-1) + 3.0 * (-jnp.log(iou + 1e-8))
+        cost = cost + 1e9 * (~valid)[None, :] + 1e12 * (~gt_m)[:, None]
+
+        topk_ious, _ = jax.lax.top_k(iou, kk)
+        dyn_k = jnp.clip(topk_ious.sum(-1).astype(jnp.int32), 1, kk)
+        _, top_idx = jax.lax.top_k(-cost, kk)
+        rank = jnp.arange(kk)[None, :]
+        chosen = (rank < dyn_k[:, None]) & gt_m[:, None]
+        mm = jnp.zeros((m, k_total), bool)
+        mm = jax.vmap(lambda row, idx, ch: row.at[idx].set(ch, mode="drop"))(
+            mm, top_idx, chosen
+        )
+        claims = mm.sum(0)
+        best = jnp.argmin(jnp.where(mm, cost, jnp.inf), axis=0)
+        mm = mm & ((claims <= 1)
+                   | (jnp.arange(m)[:, None] == best[None, :]))
+        fg = mm.any(0)
+        matched = jnp.argmax(mm, axis=0).astype(jnp.int32)
+        return fg, matched
+
+    return jax.vmap(assign_one)(
+        gt_box_px, gt_cls, gt_mask, cand.pbox_px, cand_valid,
+        cand.ps[..., 4], cand.ps[..., 5 : 5 + nc],
+    )
+
+
+def ota_box_targets(labels, matched_i, asn, ny, nx, na):
+    """Matched-GT regression target in grid units, cell-relative
+    (reference loss.py:230-238 selected_tbox)."""
+    gxy = jnp.take_along_axis(labels[..., 1:3], matched_i[..., None],
+                              axis=1) * jnp.array([nx, ny], jnp.float32)
+    gwh = jnp.take_along_axis(labels[..., 3:5], matched_i[..., None],
+                              axis=1) * jnp.array([nx, ny], jnp.float32)
+    cell_flat = asn.flat_cell // na
+    gi = (cell_flat % nx).astype(jnp.float32)
+    gj = (cell_flat // nx).astype(jnp.float32)
+    return jnp.concatenate([gxy - jnp.stack([gi, gj], -1), gwh], axis=-1)
 
 
 def compute_ota_loss(
@@ -45,82 +143,14 @@ def compute_ota_loss(
         lc.single_targets,
     )
     b = preds[0].shape[0]
-    m = labels.shape[1]
     nc = lc.nc
 
-    # pooled candidate set across scales: per-slot predictions decoded to
-    # image pixels, plus per-slot metadata
-    ps_all, pbox_px_all, valid_all, scale_all, flat_all = [], [], [], [], []
-    pbox_grid_all, tbox_grid_all = [], []
-    src_gt_all = []
-    for i, (p, asn) in enumerate(zip(preds, assignments)):
-        p = p.astype(jnp.float32)
-        ps = _gather_positives(p, asn)              # (B, K_i, no)
-        pbox = decode_pred_boxes(ps, asn.anchor_wh)  # grid units, cell-rel
-        # cell origin for absolute position
-        na_ = p.shape[3]
-        nx_ = p.shape[2]
-        cell_flat = asn.flat_cell // na_
-        gi = (cell_flat % nx_).astype(jnp.float32)
-        gj = (cell_flat // nx_).astype(jnp.float32)
-        abs_xy = (pbox[..., :2] + jnp.stack([gi, gj], -1)) * strides[i]
-        abs_wh = pbox[..., 2:4] * strides[i]
-        ps_all.append(ps)
-        pbox_grid_all.append(pbox)
-        tbox_grid_all.append(jnp.concatenate([asn.txy, asn.twh], -1))
-        pbox_px_all.append(jnp.concatenate([abs_xy, abs_wh], -1))
-        valid_all.append(asn.valid)
-        flat_all.append(asn.flat_cell)
-        scale_all.append(jnp.full(asn.valid.shape[1], i, jnp.int32))
-        # each slot's originating target index (lattice order: m, 5, na)
-        k_i = asn.valid.shape[1]
-        per_t = k_i // m
-        src_gt_all.append(jnp.repeat(jnp.arange(m, dtype=jnp.int32), per_t))
-
-    ps = jnp.concatenate(ps_all, axis=1)              # (B, K, no)
-    pbox_px = jnp.concatenate(pbox_px_all, axis=1)    # (B, K, 4)
-    valid = jnp.concatenate(valid_all, axis=1)        # (B, K)
-    k_total = valid.shape[1]
-
+    cand = ota_candidates(preds, assignments, strides)
+    valid = jnp.concatenate([a.valid for a in assignments], axis=1)
     gt_cls = labels[..., 0].astype(jnp.int32)
     gt_box_px = labels[..., 1:5] * float(img_size)
-
-    def assign_one(gt_box, gt_c, gt_m, boxes, cand_valid, obj_logit,
-                   cls_logit):
-        iou = bbox_iou(gt_box[:, None, :], boxes[None, :, :],
-                       x1y1x2y2=False)                      # (M, K)
-        iou = jnp.where(gt_m[:, None] & cand_valid[None, :], iou, 0.0)
-        p = jax.nn.sigmoid(cls_logit) * jax.nn.sigmoid(obj_logit)[:, None]
-        q = jnp.sqrt(jnp.clip(p, 1e-12, 1.0))[None]
-        y = jax.nn.one_hot(gt_c, nc)[:, None, :]
-        bce = -(y * jnp.log(q)
-                + (1.0 - y) * jnp.log1p(-jnp.clip(q, 0, 1 - 1e-7)))
-        cost = bce.sum(-1) + 3.0 * (-jnp.log(iou + 1e-8))
-        cost = cost + 1e9 * (~cand_valid)[None, :] + 1e12 * (~gt_m)[:, None]
-
-        kk = min(top_k, k_total)
-        topk_ious, _ = jax.lax.top_k(iou, kk)
-        dyn_k = jnp.clip(topk_ious.sum(-1).astype(jnp.int32), 1, kk)
-        _, top_idx = jax.lax.top_k(-cost, kk)
-        rank = jnp.arange(kk)[None, :]
-        chosen = (rank < dyn_k[:, None]) & gt_m[:, None]
-        mm = jnp.zeros((m, k_total), bool)
-        mm = jax.vmap(lambda row, idx, ch: row.at[idx].set(ch, mode="drop"))(
-            mm, top_idx, chosen
-        )
-        claims = mm.sum(0)
-        best = jnp.argmin(jnp.where(mm, cost, jnp.inf), axis=0)
-        mm = mm & ((claims <= 1)
-                   | (jnp.arange(m)[:, None] == best[None, :]))
-        fg = mm.any(0)
-        matched = jnp.argmax(mm, axis=0).astype(jnp.int32)
-        return fg, matched
-
-    obj_logits = ps[..., 4]
-    cls_logits = ps[..., 5 : 5 + nc]
-    fg, matched = jax.vmap(assign_one)(
-        gt_box_px, gt_cls, label_mask, pbox_px, valid, obj_logits, cls_logits
-    )
+    fg, matched = simota_match(gt_box_px, gt_cls, label_mask, cand, valid,
+                               nc, top_k)
 
     cp, cn = smooth_bce(lc.label_smoothing)
     lbox = 0.0
@@ -130,24 +160,13 @@ def compute_ota_loss(
     for i, (p, asn) in enumerate(zip(preds, assignments)):
         p = p.astype(jnp.float32)
         bsz, ny, nx, na, no = p.shape
-        k_i = asn.valid.shape[1]
+        k_i = cand.k_sizes[i]
         fg_i = jax.lax.dynamic_slice_in_dim(fg, offset, k_i, axis=1)
         matched_i = jax.lax.dynamic_slice_in_dim(matched, offset, k_i, axis=1)
         offset += k_i
 
-        # regression target: the MATCHED gt box in this scale's grid units
-        gxy = jnp.take_along_axis(labels[..., 1:3], matched_i[..., None],
-                                  axis=1) * jnp.array([nx, ny], jnp.float32)
-        gwh = jnp.take_along_axis(labels[..., 3:5], matched_i[..., None],
-                                  axis=1) * jnp.array([nx, ny], jnp.float32)
-        na_ = na
-        cell_flat = asn.flat_cell // na_
-        gi = (cell_flat % nx).astype(jnp.float32)
-        gj = (cell_flat // nx).astype(jnp.float32)
-        t_rel = jnp.concatenate(
-            [gxy - jnp.stack([gi, gj], -1), gwh], axis=-1
-        )
-        pbox = pbox_grid_all[i]
+        t_rel = ota_box_targets(labels, matched_i, asn, ny, nx, na)
+        pbox = cand.pbox_grid_all[i]
         iou = bbox_iou(pbox, t_rel, x1y1x2y2=False, CIoU=True)
         lbox = lbox + masked_mean(1.0 - iou, fg_i)
 
@@ -166,7 +185,7 @@ def compute_ota_loss(
             mcls = jnp.take_along_axis(gt_cls, matched_i, axis=1)
             onehot = jax.nn.one_hot(mcls, nc)
             t = onehot * cp + (1.0 - onehot) * cn
-            ce = bce_with_logits(ps_all[i][..., 5 : 5 + nc], t,
+            ce = bce_with_logits(cand.ps_all[i][..., 5 : 5 + nc], t,
                                  lc.cls_pw).mean(-1)
             lcls = lcls + masked_mean(ce, fg_i)
 

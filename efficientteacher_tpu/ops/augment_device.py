@@ -1,0 +1,356 @@
+"""Device-side train augmentation: mosaic-4 + random perspective + HSV +
+flips as ONE jitted batched program.
+
+Why: the reference runs its augmentation pipeline in Python/cv2 dataloader
+workers (utils/datasets.py load_mosaic -> random_perspective ->
+augment_hsv -> flips). On hosts with few cores that pipeline caps
+end-to-end throughput far below the TPU's step rate (bench.py aux:
+29 img/s e2e vs 251 img/s compute on a 1-core host). TPU-first fix: the
+host only decodes + letterboxes once (RAM-cacheable); composition and
+warping — the expensive parts — run on the TPU where they cost <2 ms/batch
+of HBM-bandwidth-bound gathers.
+
+Semantics per sample (mirrors the host pipeline in data/augment.py, which
+itself mirrors reference utils/augmentations.py):
+  1. mosaic-4: 3 partner images drawn from WITHIN the batch (the host
+     pipeline draws from the whole dataset; in-batch drawing is the
+     sampling approximation that makes the op batchable — every image
+     still appears once as a primary tile per step)
+  2. random_perspective with border = -s/2 (mosaic crop), the same
+     T@S@R@P@C matrix composition (augmentations.py:278-303) and
+     box_candidates filter (:417)
+  3. HSV jitter (float-space equivalent of the reference's uint8 LUT
+     trick, augmentations.py:48-60)
+  4. horizontal/vertical flips
+
+All shapes static; randomness via jax.random (fold_in per sample); output
+uint8 so the existing train-step signature (u8 -> /255 on device) is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+FILL = 114.0
+
+
+# -- geometry -----------------------------------------------------------------
+
+def build_affine_device(key, width, height, degrees, translate, scale,
+                        shear, perspective, border: Tuple[int, int]):
+    """Random M (3,3) and scale s; composition T@S@R@P@C mirrors
+    data/augment.py build_affine (reference augmentations.py:278-303)."""
+    k = jax.random.split(key, 8)
+    u = lambda kk, lo, hi: jax.random.uniform(kk, (), minval=lo, maxval=hi)
+
+    C = jnp.array([[1.0, 0.0, -width / 2],
+                   [0.0, 1.0, -height / 2],
+                   [0.0, 0.0, 1.0]])
+    P = jnp.eye(3)
+    P = P.at[2, 0].set(u(k[0], -perspective, perspective))
+    P = P.at[2, 1].set(u(k[1], -perspective, perspective))
+
+    a = u(k[2], -degrees, degrees) * math.pi / 180.0
+    s = u(k[3], 1.0 - scale, 1.0 + scale)
+    # cv2.getRotationMatrix2D(center=(0,0), angle, scale): y-down CCW
+    alpha, beta = s * jnp.cos(a), s * jnp.sin(a)
+    R = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    R = R.at[0, 0].set(alpha).at[0, 1].set(beta)
+    R = R.at[1, 0].set(-beta).at[1, 1].set(alpha)
+
+    S = jnp.eye(3)
+    sh = lambda kk: jnp.tan(u(kk, -shear, shear) * math.pi / 180.0)
+    S = S.at[0, 1].set(sh(k[4])).at[1, 0].set(sh(k[5]))
+
+    out_w = width + border[1] * 2
+    out_h = height + border[0] * 2
+    T = jnp.eye(3)
+    T = T.at[0, 2].set(u(k[6], 0.5 - translate, 0.5 + translate) * out_w)
+    T = T.at[1, 2].set(u(k[7], 0.5 - translate, 0.5 + translate) * out_h)
+    M = T @ S @ R @ P @ C
+    return M, s
+
+
+def warp_image_device(img, M, out_h: int, out_w: int, fill: float = FILL):
+    """Inverse-map bilinear warp: out(x, y) = img(M^-1 @ (x, y, 1)).
+    img: (H, W, 3) uint8/float. Matches cv2.warpPerspective(borderValue=114)
+    up to bilinear edge handling."""
+    h, w = img.shape[0], img.shape[1]
+    Minv = jnp.linalg.inv(M)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(out_h, dtype=jnp.float32),
+        jnp.arange(out_w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    ones = jnp.ones_like(xs)
+    src = jnp.einsum("ij,jhw->ihw", Minv, jnp.stack([xs, ys, ones]))
+    sx = src[0] / src[2]
+    sy = src[1] / src[2]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)].astype(
+            jnp.float32
+        )
+        return jnp.where(inside[..., None], v, fill)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    out = (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+           + v10 * (1 - fx) * fy + v11 * fx * fy)
+    return out
+
+
+def warp_boxes_device(boxes, M, out_w: int, out_h: int):
+    """(N, 4) xyxy -> enclosing boxes of the warped corners, clipped
+    (reference augmentations.py:318-337)."""
+    n = boxes.shape[0]
+    corners = jnp.stack([
+        boxes[:, 0], boxes[:, 1],
+        boxes[:, 2], boxes[:, 1],
+        boxes[:, 0], boxes[:, 3],
+        boxes[:, 2], boxes[:, 3],
+    ], axis=-1).reshape(n * 4, 2)
+    pts = jnp.concatenate([corners, jnp.ones((n * 4, 1))], axis=-1)
+    warped = pts @ M.T
+    warped = warped[:, :2] / warped[:, 2:3]
+    warped = warped.reshape(n, 4, 2)
+    x = warped[..., 0]
+    y = warped[..., 1]
+    out = jnp.stack([
+        x.min(-1).clip(0, out_w), y.min(-1).clip(0, out_h),
+        x.max(-1).clip(0, out_w), y.max(-1).clip(0, out_h),
+    ], axis=-1)
+    return out
+
+
+def box_candidates_device(before, after, s, wh_thr=2.0, ar_thr=20.0,
+                          area_thr=0.1, eps=1e-16):
+    """Survival mask after a warp (reference augmentations.py:417)."""
+    w1 = (before[:, 2] - before[:, 0]) * s
+    h1 = (before[:, 3] - before[:, 1]) * s
+    w2 = after[:, 2] - after[:, 0]
+    h2 = after[:, 3] - after[:, 1]
+    ar = jnp.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+    return ((w2 > wh_thr) & (h2 > wh_thr)
+            & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr))
+
+
+# -- mosaic -------------------------------------------------------------------
+
+def mosaic4_device(key, imgs4, labels4, mask4, s: int):
+    """4 s-square tiles -> (2s, 2s) mosaic around a random center
+    (reference utils/datasets.py load_mosaic; tiles are pre-letterboxed to
+    s x s so the per-tile crop degenerates to corner placement).
+
+    imgs4 (4, s, s, 3) u8; labels4 (4, M, 5) [cls, xywhn]; mask4 (4, M).
+    Returns canvas (2s, 2s, 3) f32, boxes (4M, 5) [cls, xyxy px], (4M,)."""
+    kx, ky = jax.random.split(key)
+    xc = jax.random.uniform(kx, (), minval=0.5 * s, maxval=1.5 * s)
+    yc = jax.random.uniform(ky, (), minval=0.5 * s, maxval=1.5 * s)
+    xci = jnp.round(xc).astype(jnp.int32)
+    yci = jnp.round(yc).astype(jnp.int32)
+
+    pad = s // 2  # canvas coords = mosaic coords + pad
+    canvas = jnp.full((3 * s, 3 * s, 3), FILL, jnp.float32)
+    # tile corner offsets relative to the shared center (y, x)
+    offs = [(-s, -s), (-s, 0), (0, -s), (0, 0)]
+    for k in range(4):
+        oy, ox = offs[k]
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, imgs4[k].astype(jnp.float32),
+            (yci + pad + oy, xci + pad + ox, 0),
+        )
+    canvas = jax.lax.dynamic_slice(canvas, (pad, pad, 0),
+                                   (2 * s, 2 * s, 3))
+
+    m = labels4.shape[1]
+    boxes = []
+    valid = []
+    for k in range(4):
+        oy, ox = offs[k]
+        cls = labels4[k, :, 0:1]
+        cx = labels4[k, :, 1] * s + (xc + ox)
+        cy = labels4[k, :, 2] * s + (yc + oy)
+        bw = labels4[k, :, 3] * s
+        bh = labels4[k, :, 4] * s
+        xyxy = jnp.stack([cx - bw / 2, cy - bh / 2,
+                          cx + bw / 2, cy + bh / 2], axis=-1)
+        boxes.append(jnp.concatenate([cls, xyxy], axis=-1))
+        valid.append(mask4[k])
+    out = jnp.concatenate(boxes, axis=0)          # (4M, 5)
+    out = out.at[:, 1:].set(out[:, 1:].clip(0, 2 * s))
+    return canvas, out, jnp.concatenate(valid, axis=0)
+
+
+# -- color / flips ------------------------------------------------------------
+
+def _rgb_to_hsv(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    d = mx - mn + 1e-12
+    h = jnp.where(
+        mx == r, (g - b) / d % 6.0,
+        jnp.where(mx == g, (b - r) / d + 2.0, (r - g) / d + 4.0),
+    ) / 6.0
+    sat = d / (mx + 1e-12)
+    return h % 1.0, sat, mx
+
+
+def _hsv_to_rgb(h, s, v):
+    h6 = h * 6.0
+    i = jnp.floor(h6)
+    f = h6 - i
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def hsv_jitter_device(key, img, hgain, sgain, vgain):
+    """Random HSV gains (float-space port of the reference's uint8 LUT,
+    augmentations.py:48-60). img float RGB 0..255."""
+    r = jax.random.uniform(key, (3,), minval=-1.0, maxval=1.0)
+    r = r * jnp.array([hgain, sgain, vgain]) + 1.0
+    h, s, v = _rgb_to_hsv(img / 255.0)
+    h = (h * r[0]) % 1.0
+    s = jnp.clip(s * r[1], 0.0, 1.0)
+    v = jnp.clip(v * r[2], 0.0, 1.0)
+    return _hsv_to_rgb(h, s, v) * 255.0
+
+
+# -- the batched entry point --------------------------------------------------
+
+def device_augment_batch(key, images, labels, mask, hyp: Dict,
+                         max_out: int = 0):
+    """Batched train augmentation on device.
+
+    images (B, s, s, 3) uint8 letterboxed; labels (B, M, 5) [cls, xywhn];
+    mask (B, M). Returns (images u8 (B, s, s, 3), labels (B, Mo, 5)
+    normalized, mask (B, Mo)) with Mo = max_out or 4M. hyp keys: mosaic,
+    degrees, translate, scale, shear, perspective, hsv_h/s/v, fliplr,
+    flipud (the reference hyp namespace).
+    """
+    b, s = images.shape[0], images.shape[1]
+    m = labels.shape[1]
+    mo = max_out or 4 * m
+    use_mosaic = float(hyp.get("mosaic", 1.0)) > 0
+
+    kperm, kbatch = jax.random.split(key)
+    # 3 partner tiles per sample, drawn in-batch by shifted permutation
+    # (never self at shift 0)
+    shifts = 1 + jax.random.randint(kperm, (3,), 0, b - 1) if b > 1 else (
+        jnp.zeros((3,), jnp.int32))
+    idx = jnp.stack(
+        [jnp.arange(b)] + [(jnp.arange(b) + shifts[j]) % b for j in range(3)],
+        axis=1,
+    )  # (B, 4)
+
+    def one(key_i, quad_imgs, quad_labels, quad_mask, p_mosaic):
+        km, kw, kh, kfl, kfu, kg = jax.random.split(key_i, 6)
+        if use_mosaic:
+            canvas, boxes, valid = mosaic4_device(
+                km, quad_imgs, quad_labels, quad_mask, s
+            )
+            do_mos = jax.random.uniform(kg, ()) < p_mosaic
+            # non-mosaic fallback: primary tile centered on a 2s canvas
+            solo = jnp.full((2 * s, 2 * s, 3), FILL, jnp.float32)
+            solo = jax.lax.dynamic_update_slice(
+                solo, quad_imgs[0].astype(jnp.float32),
+                (s // 2, s // 2, 0),
+            )
+            cls0 = quad_labels[0, :, 0:1]
+            cx = quad_labels[0, :, 1] * s + s // 2
+            cy = quad_labels[0, :, 2] * s + s // 2
+            bw = quad_labels[0, :, 3] * s
+            bh = quad_labels[0, :, 4] * s
+            solo_boxes = jnp.concatenate(
+                [cls0, jnp.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2,
+                                  cy + bh / 2], -1)], axis=-1)
+            pad_boxes = jnp.zeros((3 * m, 5), jnp.float32)
+            solo_boxes = jnp.concatenate([solo_boxes, pad_boxes], axis=0)
+            solo_valid = jnp.concatenate(
+                [quad_mask[0], jnp.zeros((3 * m,), bool)], axis=0)
+            canvas = jnp.where(do_mos, canvas, solo)
+            boxes = jnp.where(do_mos, boxes, solo_boxes)
+            valid = jnp.where(do_mos, valid, solo_valid)
+            border = (-s // 2, -s // 2)
+            src_w = src_h = 2 * s
+        else:
+            canvas = quad_imgs[0].astype(jnp.float32)
+            cls0 = quad_labels[0, :, 0:1]
+            cx = quad_labels[0, :, 1] * s
+            cy = quad_labels[0, :, 2] * s
+            bw = quad_labels[0, :, 3] * s
+            bh = quad_labels[0, :, 4] * s
+            boxes = jnp.concatenate(
+                [cls0, jnp.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2,
+                                  cy + bh / 2], -1)], axis=-1)
+            valid = quad_mask[0]
+            border = (0, 0)
+            src_w = src_h = s
+
+        M, sc = build_affine_device(
+            kw, src_w, src_h,
+            float(hyp.get("degrees", 0.0)), float(hyp.get("translate", 0.1)),
+            float(hyp.get("scale", 0.5)), float(hyp.get("shear", 0.0)),
+            float(hyp.get("perspective", 0.0)), border,
+        )
+        img = warp_image_device(canvas, M, s, s)
+        new = warp_boxes_device(boxes[:, 1:], M, s, s)
+        keep = valid & box_candidates_device(boxes[:, 1:], new, sc)
+
+        # HSV + flips
+        img = hsv_jitter_device(kh, img, float(hyp.get("hsv_h", 0.0)),
+                                float(hyp.get("hsv_s", 0.0)),
+                                float(hyp.get("hsv_v", 0.0)))
+        do_lr = jax.random.uniform(kfl, ()) < float(hyp.get("fliplr", 0.0))
+        do_ud = jax.random.uniform(kfu, ()) < float(hyp.get("flipud", 0.0))
+        img = jnp.where(do_lr, img[:, ::-1], img)
+        img = jnp.where(do_ud, img[::-1], img)
+        x1, y1, x2, y2 = new[:, 0], new[:, 1], new[:, 2], new[:, 3]
+        x1, x2 = (jnp.where(do_lr, s - x2, x1), jnp.where(do_lr, s - x1, x2))
+        y1, y2 = (jnp.where(do_ud, s - y2, y1), jnp.where(do_ud, s - y1, y2))
+
+        # back to [cls, xywhn], compacted valid-first into mo slots
+        cxn = (x1 + x2) / 2 / s
+        cyn = (y1 + y2) / 2 / s
+        bwn = (x2 - x1) / s
+        bhn = (y2 - y1) / s
+        out = jnp.stack([boxes[:, 0], cxn, cyn, bwn, bhn], axis=-1)
+        order = jnp.argsort(~keep)  # valid rows first, stable
+        out = out[order][:mo]
+        keep = keep[order][:mo]
+        return (jnp.clip(img, 0, 255).astype(jnp.uint8),
+                jnp.where(keep[:, None], out, 0.0), keep)
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(kbatch, i))(jnp.arange(b))
+    quad_imgs = images[idx]        # (B, 4, s, s, 3)
+    quad_labels = labels[idx]
+    quad_mask = mask[idx]
+    p_mos = jnp.full((b,), float(hyp.get("mosaic", 1.0)))
+    return jax.vmap(one)(keys, quad_imgs, quad_labels, quad_mask, p_mos)

@@ -102,6 +102,33 @@ def apply_grad_masks(grads, masks):
     )
 
 
+def load_repscale_scales(path: str) -> Dict[str, Tuple]:
+    """cfg.Model.RepScale_weight -> path->scales map (reference
+    trainer/trainer.py:219-236: torch.load of the LinearAdd hyper-search
+    checkpoint feeding RepVGGOptimizer). Accepts our .ckpt (LinearAdd model
+    params, EMA preferred) or a reference torch .pt."""
+    if str(path).endswith(".pt"):
+        from ..utils.torch_import import load_torch_weights
+
+        tree = load_torch_weights(path)
+        src = tree["params"]
+    else:
+        from ..utils.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(path)
+        src = ckpt.get("ema") or ckpt["model"]
+        if isinstance(src, dict) and "params" in src:
+            src = src["params"]
+    scales = extract_scales(src)
+    if not scales:
+        raise ValueError(
+            f"no LinearAdd/CSLA scale branches found in {path!r} — "
+            "RepScale_weight must point at a model trained with "
+            "Model.LinearAddModel: True"
+        )
+    return scales
+
+
 def reinitialize_from_scales(params: Dict, scales: Dict[str, Tuple],
                              rng: Optional[np.random.Generator] = None):
     """Re-init RealVGG 3x3 kernels to the fused CSLA equivalent

@@ -85,6 +85,8 @@ def make_ssod_train_step(
     norm_scale: float = 255.0,
     compute_dtype=jnp.bfloat16,
     extra_teachers=None,
+    use_ota: bool = False,
+    ota_top_k: int = 10,
 ):
     """extra_teachers: optional list of (variables, class_map | None)
     frozen teachers merged into pseudo-label creation (reference
@@ -153,10 +155,21 @@ def make_ssod_train_step(
             sup_loss, sup_parts = compute_loss(
                 sup_raw, sup_labels, sup_mask, anchors_grid, sup_cfg
             )
-            un_loss, un_parts = compute_ssod_loss(
-                un_raw, pl.labels, pl.mask, thr_high, thr_low,
-                anchors_grid, ssod_cfg,
-            )
+            if use_ota:
+                # SSOD.use_ota: SimOTA assignment of reliable/uncertain
+                # pseudo labels (reference ssod_loss.py:296-345)
+                from ..losses.ssod_loss import compute_ssod_ota_loss
+
+                un_loss, un_parts = compute_ssod_ota_loss(
+                    un_raw, pl.labels, pl.mask, thr_high, thr_low,
+                    anchors_grid, spec.strides, img_size, ssod_cfg,
+                    top_k=ota_top_k,
+                )
+            else:
+                un_loss, un_parts = compute_ssod_loss(
+                    un_raw, pl.labels, pl.mask, thr_high, thr_low,
+                    anchors_grid, ssod_cfg,
+                )
             un_loss = jnp.where(pl.invalid, 0.0, un_loss)
             total = sup_loss + un_loss * teacher_loss_weight
             if with_da_loss:

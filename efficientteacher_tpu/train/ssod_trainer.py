@@ -162,12 +162,6 @@ class SSODTrainer(Trainer):
         extra = (
             self._load_extra_teachers(cfg) if cfg.SSOD.extra_teachers else None
         )
-        if cfg.SSOD.use_ota:
-            LOGGER.warning(
-                "SSOD.use_ota: the dense pseudo-label assigner is used for "
-                "reliable targets (the reference's ota_loss variant maps to "
-                "the same masked lattice)"
-            )
         self.ssod_step = make_ssod_train_step(
             self.model, self.loss_cfg, self.ssod_loss_cfg, self.anchors_grid,
             self.opt_cfg, self.spec,
@@ -181,6 +175,8 @@ class SSODTrainer(Trainer):
             norm_scale=float(cfg.Dataset.norm_scale),
             compute_dtype=self.compute_dtype,
             extra_teachers=extra,
+            use_ota=bool(cfg.SSOD.use_ota),
+            ota_top_k=int(cfg.Loss.top_k),
         )
 
     # -- epoch logic --------------------------------------------------------
@@ -203,20 +199,35 @@ class SSODTrainer(Trainer):
         else:
             self._train_with_unlabeled()
 
+    def _shard(self, *arrays):
+        """Batch-dim dp sharding (single- or multi-host); falls back to
+        replication when the per-step batch doesn't divide the mesh (tiny
+        smoke-test batches)."""
+        n = jax.local_device_count() if self.mesh is not None else 1
+        if self.mesh is None or any(a.shape[0] % n for a in arrays):
+            out = tuple(jnp.asarray(a) for a in arrays)
+        else:
+            from ..parallel.distributed import make_global_batch
+
+            out = make_global_batch(self.mesh, tuple(arrays))
+        return out if len(out) > 1 else out[0]
+
     def _train_burn_in(self):
         target_iter = iter(itertools.cycle(self.target_loader)) \
             if self.with_da_loss else None
         for i, batch in enumerate(self.train_loader):
             ni = self._next_ni()
             sched = self._schedule(ni)
-            t_imgs = (
-                jnp.asarray(next(target_iter)["images_ori"])
-                if target_iter else
-                jnp.zeros((0,) + batch["images"].shape[1:], jnp.uint8)
+            if target_iter:
+                t_imgs = self._shard(next(target_iter)["images_ori"])
+            else:
+                t_imgs = jnp.zeros((0,) + batch["images"].shape[1:],
+                                   jnp.uint8)
+            images, labels, mask = self._shard(
+                batch["images"], batch["labels"], batch["mask"]
             )
             self.state, parts = self.burn_step(
-                self.state, jnp.asarray(batch["images"]),
-                jnp.asarray(batch["labels"]), jnp.asarray(batch["mask"]),
+                self.state, images, labels, mask,
                 t_imgs, sched, jnp.float32(self._semi_decay()),
             )
             if i % 50 == 0:
@@ -244,18 +255,35 @@ class SSODTrainer(Trainer):
             sbatch = next(labeled_iter)
             ni = self._next_ni()
             sched = self._schedule(ni)
+            s_imgs, s_labels, s_mask = self._shard(
+                sbatch["images"], sbatch["labels"], sbatch["mask"]
+            )
+            t_strong, t_weak, t_ms = self._shard(
+                tbatch["images"], tbatch["images_ori"], tbatch["M_s"]
+            )
             self.state, out = self.ssod_step(
-                self.state,
-                jnp.asarray(sbatch["images"]),
-                jnp.asarray(sbatch["labels"]),
-                jnp.asarray(sbatch["mask"]),
-                jnp.asarray(tbatch["images"]),
-                jnp.asarray(tbatch["images_ori"]),
-                jnp.asarray(tbatch["M_s"]),
+                self.state, s_imgs, s_labels, s_mask,
+                t_strong, t_weak, t_ms,
                 thr_high, thr_low, sched, semi_decay,
             )
             pl_np = np.asarray(out.pseudo_labels)
             mask_np = np.asarray(out.pseudo_mask)
+            if (self.cfg.SSOD.debug and i < 2 and self.is_main
+                    and self.target_with_gt):
+                # pseudo-vs-GT debug mosaics on the strong view (reference
+                # utils/self_supervised_utils.py:239-243)
+                try:
+                    from ..utils.plots import plot_pseudo_vs_gt
+
+                    plot_pseudo_vs_gt(
+                        np.asarray(tbatch["images"]), pl_np, mask_np,
+                        np.asarray(tbatch["labels"]),
+                        np.asarray(tbatch["mask"]),
+                        self.save_dir
+                        / f"pseudo_gt_e{self.epoch}_b{i}.png",
+                    )
+                except Exception as e:
+                    LOGGER.debug("pseudo debug plot skipped: %s", e)
             # LabelMatch sees every pre-warp NMS detection's (conf, cls) —
             # not just M-warp survivors — matching the reference's
             # score_list_epoch harvest (utils/labelmatch.py:283-299)
@@ -309,7 +337,8 @@ class SSODTrainer(Trainer):
         fi = float(fitness(np.array([list(results)]))[0])
         if fi > self.best_fitness:
             self.best_fitness = fi
-        self._write_results_row(results, fi)
+        if self.is_main:
+            self._write_results_row(results, fi)
         metrics = {
             "metrics/precision": results[0],
             "metrics/recall": results[1],
@@ -319,7 +348,7 @@ class SSODTrainer(Trainer):
         for k, meter in self.meter.meters.items():
             metrics[f"train/{k}"] = meter.avg
         self.callbacks.run("on_fit_epoch_end", metrics, self.epoch)
-        if not self.nosave:
+        if not self.nosave and self.is_main:
             self._save_ckpt("last.ckpt", fi)
             if fi == self.best_fitness:
                 self._save_ckpt("best.ckpt", fi)

@@ -46,6 +46,7 @@ def make_supervised_train_step(
     norm_scale: float = 255.0,
     compute_dtype=jnp.bfloat16,
     detection_loss=None,
+    grad_masks=None,
 ):
     """Build the jitted supervised train step.
 
@@ -81,6 +82,12 @@ def make_supervised_train_step(
         (loss, (parts, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if grad_masks is not None:
+            # RepOptimizer: per-kernel gradient reparameterization
+            # (reference models/optimizers/RepOptimizer.py:163-178)
+            from .repopt import apply_grad_masks
+
+            grads = apply_grad_masks(grads, grad_masks)
         state = apply_gradients_accumulating(
             state, grads, opt_cfg,
             lr_bias=sched.lr_bias, lr_rest=sched.lr_rest,

@@ -35,7 +35,8 @@ from ..eval.metrics import MetricMeter, fitness
 from ..losses.yolov5_loss import YoloV5LossConfig
 from ..models import build_model
 from ..models.spec import spec_from_cfg
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.distributed import is_main_process, make_global_batch
+from ..parallel.mesh import make_mesh, replicate
 from ..utils.callbacks import Callbacks
 from ..utils.checkpoint import (
     intersect_trees,
@@ -81,7 +82,11 @@ class Trainer:
             exist_ok=cfg.exist_ok, mkdir=True,
         )
         (self.save_dir / "weights").mkdir(parents=True, exist_ok=True)
-        (self.save_dir / "opt.yaml").write_text(cfg.dump())
+        # host-0-only side effects on multi-host slices (the reference's
+        # RANK in (-1, 0) guards)
+        self.is_main = is_main_process()
+        if self.is_main:
+            (self.save_dir / "opt.yaml").write_text(cfg.dump())
         self.img_size = check_img_size(cfg.Dataset.img_size, 32)
         self.noval = cfg.noval
         self.nosave = cfg.nosave
@@ -90,14 +95,15 @@ class Trainer:
         self.n_devices = len(jax.devices())
         self.mesh = make_mesh(self.n_devices) if self.n_devices > 1 else None
         # loggers registered on the callbacks bus (reference trainer.py:281)
-        try:
-            from ..utils.loggers import Loggers
+        self.loggers = None
+        if self.is_main:
+            try:
+                from ..utils.loggers import Loggers
 
-            self.loggers = Loggers(self.save_dir, cfg, include=("tb",))
-            self.loggers.register(self.callbacks)
-        except Exception as e:
-            LOGGER.debug("loggers disabled: %s", e)
-            self.loggers = None
+                self.loggers = Loggers(self.save_dir, cfg, include=("tb",))
+                self.loggers.register(self.callbacks)
+            except Exception as e:
+                LOGGER.debug("loggers disabled: %s", e)
 
     def build_model(self, cfg):
         self.spec = spec_from_cfg(cfg)
@@ -109,6 +115,26 @@ class Trainer:
         if cfg.weights:
             params, batch_stats = self._warm_start(
                 cfg.weights, params, batch_stats
+            )
+        # RepOptimizer (reference trainer/trainer.py:219-236): scales from
+        # the LinearAdd hyper-search ckpt drive per-kernel gradient masks;
+        # from-scratch runs also reinit the 3x3 kernels to the fused CSLA
+        # equivalent (RepVGGOptimizer reinit=True when cfg.weights=='').
+        self.grad_masks = None
+        if cfg.Model.RepOpt:
+            from .repopt import (build_grad_masks, load_repscale_scales,
+                                 reinitialize_from_scales)
+
+            scales = load_repscale_scales(cfg.Model.RepScale_weight)
+            if not cfg.weights:
+                params = jax.tree.map(
+                    jnp.asarray,
+                    reinitialize_from_scales(
+                        jax.tree.map(np.asarray, params), scales
+                    ),
+                )
+            self.grad_masks = build_grad_masks(
+                jax.tree.map(np.asarray, params), scales
             )
         self._init_params = params
         self._init_bs = batch_stats
@@ -191,8 +217,37 @@ class Trainer:
                     self.start_epoch, self.best_fitness)
 
     def build_dataloader(self, cfg):
-        self.train_loader = create_dataloader(cfg, "train",
-                                              batch_size=self.batch_size)
+        self.device_aug = bool(cfg.Dataset.device_aug)
+        if self.device_aug:
+            # host only decodes + letterboxes (cacheable); mosaic-4 /
+            # perspective / HSV / flips run on-TPU (ops/augment_device.py)
+            from ..data.datasets import BatchLoader, LoadImagesAndLabels
+
+            ds = LoadImagesAndLabels(
+                cfg.Dataset.train,
+                img_size=cfg.Dataset.img_size,
+                hyp={k: cfg.hyp[k] for k in cfg.hyp},
+                augment=False,
+                nc=cfg.Dataset.nc,
+                max_targets=cfg.Dataset.max_targets,
+                single_cls=cfg.single_cls,
+                cache_images=cfg.cache is True or cfg.cache == "ram",
+                num_keypoints=int(cfg.Dataset.np),
+            )
+            from ..parallel.distributed import per_process_batch
+
+            self.train_loader = BatchLoader(
+                ds, per_process_batch(self.batch_size), shuffle=True,
+                drop_last=True,
+                sampler_type=cfg.Dataset.sampler_type,
+                workers=int(cfg.Dataset.workers),
+                mode=str(cfg.Dataset.loader),
+            )
+            self._aug_hyp = {k: cfg.hyp[k] for k in cfg.hyp}
+            self._build_device_aug()
+        else:
+            self.train_loader = create_dataloader(cfg, "train",
+                                                  batch_size=self.batch_size)
         self.dataset = self.train_loader.ds
         self.nb = len(self.train_loader)
         try:  # label statistics plot (reference plot_labels at train start)
@@ -264,6 +319,7 @@ class Trainer:
             norm_scale=float(self.cfg.Dataset.norm_scale),
             compute_dtype=self.compute_dtype,
             detection_loss=self.detection_loss,
+            grad_masks=self.grad_masks,
         )
 
     # -- schedule -----------------------------------------------------------
@@ -292,6 +348,9 @@ class Trainer:
         if self.epoch == self.epochs - self.cfg.hyp.no_aug_epochs:
             LOGGER.info("closing mosaic augmentation")
             self.dataset.mosaic = False
+            if getattr(self, "device_aug", False):
+                self._aug_hyp["mosaic"] = 0.0
+                self._build_device_aug()  # recompiles once
             if self.cfg.Loss.type in ("ComputeXLoss", "ComputeFastXLoss"):
                 # yolox: enable the extra L1 term for the no-aug tail
                 # (reference trainer.py:366-368)
@@ -309,10 +368,20 @@ class Trainer:
                 self.build_step()  # recompiles once
         self.meter = MetricMeter()
 
+    def _build_device_aug(self):
+        import functools
+
+        from ..ops.augment_device import device_augment_batch
+
+        self._device_aug_fn = jax.jit(functools.partial(
+            device_augment_batch, hyp=dict(self._aug_hyp),
+            max_out=int(self.cfg.Dataset.max_targets),
+        ))
+
     def train_in_epoch(self):
         for i, batch in enumerate(self.train_loader):
             ni = i + self.nb * self.epoch
-            if self.epoch == self.start_epoch and i < 3:
+            if self.epoch == self.start_epoch and i < 3 and self.is_main:
                 # first-batches mosaic plots (reference loggers plot_images
                 # on the first 3 train batches, utils/loggers/__init__.py:88)
                 try:
@@ -325,12 +394,21 @@ class Trainer:
                 except Exception as e:
                     LOGGER.debug("train batch plot skipped: %s", e)
             sched = self._schedule(ni)
-            images = jnp.asarray(batch["images"])
-            labels = jnp.asarray(batch["labels"])
-            mask = jnp.asarray(batch["mask"])
             if self.mesh is not None:
-                images, labels, mask = shard_batch(
-                    self.mesh, (images, labels, mask)
+                # single host: device_put sharded over dp; multi host: each
+                # process contributes its local shard of the global batch
+                images, labels, mask = make_global_batch(
+                    self.mesh,
+                    (batch["images"], batch["labels"], batch["mask"]),
+                )
+            else:
+                images = jnp.asarray(batch["images"])
+                labels = jnp.asarray(batch["labels"])
+                mask = jnp.asarray(batch["mask"])
+            if self.device_aug:
+                key = jax.random.fold_in(jax.random.PRNGKey(0), ni)
+                images, labels, mask = self._device_aug_fn(
+                    key, images, labels.astype(jnp.float32), mask
                 )
             self.state, parts = self.train_step(
                 self.state, images, labels, mask, sched
@@ -363,8 +441,9 @@ class Trainer:
         fi = float(fitness(np.array([list(results)]))[0])
         if fi > self.best_fitness:
             self.best_fitness = fi
-        self._write_results_row(results, fi)
-        if not self.nosave:
+        if self.is_main:
+            self._write_results_row(results, fi)
+        if not self.nosave and self.is_main:
             self._save_ckpt("last.ckpt", fi)
             if fi == self.best_fitness:
                 self._save_ckpt("best.ckpt", fi)

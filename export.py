@@ -8,10 +8,13 @@ Formats:
                efficient->yolov5 direction; loadable from torch without jax)
   saved_model  TF SavedModel via jax2tf (CPU/TPU serving)
   tflite       TFLite flatbuffer via the TF converter
+  onnx         ONNX graph via jax2tf SavedModel -> tf2onnx (reference
+               export.py:78-94 export_onnx); dep-gated — needs
+               `pip install onnx tf2onnx` (absent in this image)
 
-ONNX/TensorRT/CoreML exporters from the reference matrix depend on packages
-not present in this environment; SavedModel covers the TF-family targets
-(pb/tflite/tfjs/edgetpu feed from it).
+TensorRT/CoreML exporters from the reference matrix depend on GPU/macOS
+toolchains with no TPU analogue; TensorRT consumes the onnx output and
+SavedModel covers the remaining TF-family targets (pb/tfjs/edgetpu).
 
 Usage:
     python export.py --cfg <yaml> --weights best.ckpt --include params deploy
@@ -30,7 +33,9 @@ def parse_opt():
     p.add_argument("--weights", required=True)
     p.add_argument("--include", nargs="+", default=["params"],
                    choices=["params", "deploy", "torch", "saved_model",
-                            "tflite"])
+                            "tflite", "onnx"])
+    p.add_argument("--opset", type=int, default=13,
+                   help="ONNX opset (reference export.py default 13)")
     p.add_argument("--img-size", type=int, default=640)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--out", default=None, help="output stem")
@@ -101,7 +106,8 @@ def main(opt):
         np.savez(out, **sd)
         LOGGER.info("torch state_dict (%d tensors) -> %s", len(sd), out)
 
-    if "saved_model" in opt.include or "tflite" in opt.include:
+    if ("saved_model" in opt.include or "tflite" in opt.include
+            or "onnx" in opt.include):
         import tensorflow as tf
         from jax.experimental import jax2tf
 
@@ -134,6 +140,29 @@ def main(opt):
             out = stem.with_suffix(".tflite")
             out.write_bytes(blob)
             LOGGER.info("tflite -> %s", out)
+        if "onnx" in opt.include:
+            # reference export_onnx (export.py:78-94): torch.onnx.export at
+            # opset 13; here the jax2tf graph goes through tf2onnx
+            try:
+                import tf2onnx
+            except ImportError as e:
+                raise SystemExit(
+                    "onnx export needs `pip install onnx tf2onnx` "
+                    "(not present in this image); the saved_model output "
+                    f"above is its input — convert offline with:\n"
+                    f"  python -m tf2onnx.convert --saved-model {sm_dir} "
+                    f"--output {stem}.onnx --opset {opt.opset} "
+                    f"--tag serve --concrete-function 0"
+                ) from e
+            out = stem.with_suffix(".onnx")
+            model_proto, _ = tf2onnx.convert.from_function(
+                tf_fn,
+                input_signature=[tf.TensorSpec(shape, tf.float32)],
+                opset=opt.opset,
+                output_path=str(out),
+            )
+            LOGGER.info("onnx (opset %d, %d nodes) -> %s", opt.opset,
+                        len(model_proto.graph.node), out)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,178 @@
+"""Device-side augmentation: geometry/property parity with the host cv2
+pipeline semantics (data/augment.py, reference utils/augmentations.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from efficientteacher_tpu.ops.augment_device import (
+    box_candidates_device,
+    build_affine_device,
+    device_augment_batch,
+    hsv_jitter_device,
+    mosaic4_device,
+    warp_boxes_device,
+    warp_image_device,
+)
+
+
+def test_warp_identity():
+    img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
+    M = jnp.eye(3)
+    out = np.asarray(warp_image_device(jnp.asarray(img), M, 32, 32))
+    np.testing.assert_allclose(out, img.astype(np.float32), atol=1e-3)
+
+
+def test_warp_translation_matches_cv2():
+    import cv2
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (48, 48, 3), np.uint8)
+    M = np.eye(3, dtype=np.float32)
+    M[0, 2], M[1, 2] = 7.0, -3.0
+    want = cv2.warpAffine(img, M[:2], dsize=(48, 48),
+                          borderValue=(114, 114, 114)).astype(np.float32)
+    got = np.asarray(warp_image_device(jnp.asarray(img), jnp.asarray(M),
+                                       48, 48))
+    # interior pixels identical; border interpolation may differ by 1px
+    np.testing.assert_allclose(got[5:-5, 10:-2], want[5:-5, 10:-2], atol=1.0)
+
+
+def test_warp_rotation_matches_cv2():
+    import cv2
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    Mr = cv2.getRotationMatrix2D((32, 32), 17.0, 0.9)
+    M = np.eye(3, dtype=np.float64)
+    M[:2] = Mr
+    want = cv2.warpAffine(img, M[:2], dsize=(64, 64),
+                          borderValue=(114, 114, 114)).astype(np.float32)
+    got = np.asarray(warp_image_device(jnp.asarray(img), jnp.asarray(M),
+                                       64, 64))
+    diff = np.abs(got - want)
+    assert np.quantile(diff, 0.98) <= 2.0  # bilinear tie-breaks at edges
+
+
+def test_warp_boxes_matches_host():
+    from efficientteacher_tpu.data.augment import warp_boxes
+
+    rng = np.random.default_rng(3)
+    boxes = np.array([[5, 5, 20, 25], [10, 30, 40, 44]], np.float32)
+    M = np.array([[0.9, 0.1, 3.0], [-0.05, 1.1, -2.0], [0.0, 0.0, 1.0]],
+                 np.float32)
+    want = warp_boxes(boxes.copy(), M, 48, 48, perspective=False)
+    got = np.asarray(warp_boxes_device(jnp.asarray(boxes), jnp.asarray(M),
+                                       48, 48))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_box_candidates_matches_host():
+    from efficientteacher_tpu.data.augment import box_candidates
+
+    rng = np.random.default_rng(4)
+    before = rng.uniform(0, 40, (10, 4)).astype(np.float32)
+    before[:, 2:] = before[:, :2] + rng.uniform(1, 20, (10, 2))
+    after = before * rng.uniform(0.1, 1.2, (10, 1)).astype(np.float32)
+    want = box_candidates(before.T, after.T, area_thr=0.1)
+    got = np.asarray(box_candidates_device(jnp.asarray(before),
+                                           jnp.asarray(after), 1.0))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mosaic4_device_geometry():
+    """Each tile's content and boxes land in its quadrant around the
+    center; box pixels match tile pixels."""
+    s = 32
+    imgs = np.stack([np.full((s, s, 3), 40 * (k + 1), np.uint8)
+                     for k in range(4)])
+    labels = np.zeros((4, 2, 5), np.float32)
+    mask = np.zeros((4, 2), bool)
+    for k in range(4):
+        labels[k, 0] = [k, 0.5, 0.5, 0.25, 0.25]
+        mask[k, 0] = True
+    canvas, boxes, valid = mosaic4_device(
+        jax.random.PRNGKey(0), jnp.asarray(imgs), jnp.asarray(labels),
+        jnp.asarray(mask), s,
+    )
+    canvas = np.asarray(canvas)
+    boxes = np.asarray(boxes)
+    valid = np.asarray(valid)
+    assert canvas.shape == (2 * s, 2 * s, 3)
+    assert valid.sum() == 4
+    for k in range(4):
+        row = boxes[2 * k]
+        assert row[0] == k
+        cx = (row[1] + row[3]) / 2
+        cy = (row[2] + row[4]) / 2
+        if 0 <= cx < 2 * s and 0 <= cy < 2 * s:
+            # pixel at box center belongs to tile k (value 40*(k+1)) when
+            # inside the canvas
+            v = canvas[int(cy), int(cx), 0]
+            assert v == 40 * (k + 1), (k, v)
+
+
+def test_hsv_zero_gains_identity():
+    img = np.random.default_rng(5).uniform(0, 255, (16, 16, 3)).astype(
+        np.float32
+    )
+    out = np.asarray(hsv_jitter_device(jax.random.PRNGKey(0),
+                                       jnp.asarray(img), 0.0, 0.0, 0.0))
+    np.testing.assert_allclose(out, img, atol=0.5)
+
+
+def test_device_augment_batch_contract():
+    """Jittable end-to-end: shapes, dtypes, boxes valid and normalized."""
+    rng = np.random.default_rng(6)
+    b, s, m = 4, 64, 6
+    images = rng.integers(0, 255, (b, s, s, 3), np.uint8)
+    labels = np.zeros((b, m, 5), np.float32)
+    mask = np.zeros((b, m), bool)
+    for bi in range(b):
+        labels[bi, 0] = [bi % 3, 0.5, 0.5, 0.4, 0.4]
+        labels[bi, 1] = [1, 0.3, 0.7, 0.2, 0.2]
+        mask[bi, :2] = True
+    hyp = {"mosaic": 1.0, "degrees": 5.0, "translate": 0.1, "scale": 0.3,
+           "shear": 2.0, "perspective": 0.0, "hsv_h": 0.015, "hsv_s": 0.7,
+           "hsv_v": 0.4, "fliplr": 0.5, "flipud": 0.0}
+    fn = jax.jit(lambda k, i, l, ms: device_augment_batch(
+        k, i, l, ms, hyp, max_out=16))
+    out_img, out_lab, out_mask = fn(
+        jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(labels),
+        jnp.asarray(mask),
+    )
+    assert out_img.shape == (b, s, s, 3) and out_img.dtype == jnp.uint8
+    assert out_lab.shape == (b, 16, 5)
+    assert out_mask.shape == (b, 16)
+    ol = np.asarray(out_lab)
+    om = np.asarray(out_mask)
+    assert om.any()  # some boxes survive
+    sel = ol[om]
+    assert (sel[:, 1:] >= -1e-4).all() and (sel[:, 1:] <= 1 + 1e-4).all()
+    assert (sel[:, 3] > 0).all() and (sel[:, 4] > 0).all()
+    # different keys -> different outputs (randomness flows)
+    out2 = fn(jax.random.PRNGKey(1), jnp.asarray(images),
+              jnp.asarray(labels), jnp.asarray(mask))[0]
+    assert not np.array_equal(np.asarray(out_img), np.asarray(out2))
+
+
+def test_device_augment_no_mosaic_path():
+    rng = np.random.default_rng(7)
+    b, s, m = 2, 48, 4
+    images = rng.integers(0, 255, (b, s, s, 3), np.uint8)
+    labels = np.zeros((b, m, 5), np.float32)
+    mask = np.zeros((b, m), bool)
+    labels[:, 0] = [0, 0.5, 0.5, 0.5, 0.5]
+    mask[:, 0] = True
+    hyp = {"mosaic": 0.0, "degrees": 0.0, "translate": 0.0, "scale": 0.0,
+           "shear": 0.0, "perspective": 0.0, "hsv_h": 0, "hsv_s": 0,
+           "hsv_v": 0, "fliplr": 0.0, "flipud": 0.0}
+    out_img, out_lab, out_mask = device_augment_batch(
+        jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(labels),
+        jnp.asarray(mask), hyp,
+    )
+    # all-identity hyp: the image and boxes pass through unchanged
+    np.testing.assert_allclose(np.asarray(out_img[0]), images[0], atol=1.0)
+    sel = np.asarray(out_lab[0])[np.asarray(out_mask[0])]
+    np.testing.assert_allclose(sel[0], labels[0, 0], atol=1e-3)

@@ -130,3 +130,43 @@ def test_resume(synth_root, tmp_path):
     assert np.abs(m2).sum() > 0
     assert int(t2.state.ema.updates) > 0
     t2.train()  # continues cleanly
+
+
+def test_trainer_device_aug_e2e(synth_root, tmp_path):
+    """Device-side augmentation path: host only letterboxes; mosaic/
+    perspective/HSV/flips run in the jitted aug program
+    (cfg.Dataset.device_aug, ops/augment_device.py)."""
+    import jax.numpy as jnp
+
+    cfg = get_cfg()
+    cfg.Model.Backbone.name = "YoloV5"
+    cfg.Model.Neck.name = "YoloV5"
+    cfg.Model.Head.name = "YoloV5"
+    cfg.Model.Neck.in_channels = [256, 512, 1024]
+    cfg.Model.Neck.out_channels = [256, 512, 1024]
+    cfg.Model.width_multiple = 0.125
+    cfg.Model.depth_multiple = 0.34
+    cfg.Loss.type = "ComputeLoss"
+    cfg.Dataset.train = str(synth_root / "train.txt")
+    cfg.Dataset.val = ""
+    cfg.Dataset.nc = 1
+    cfg.Dataset.img_size = 128
+    cfg.Dataset.batch_size = 8
+    cfg.Dataset.max_targets = 16
+    cfg.Dataset.device_aug = True
+    cfg.epochs = 2
+    cfg.hyp.warmup_epochs = 0
+    cfg.hyp.mosaic = 1.0
+    cfg.hyp.no_aug_epochs = 1  # exercise the mosaic-close recompile
+    cfg.noval = True
+    cfg.nosave = True
+    cfg.project = str(tmp_path / "runs")
+    cfg.name = "devaug"
+    cfg.freeze()
+
+    trainer = Trainer(cfg, compute_dtype=jnp.float32)
+    assert trainer.device_aug
+    trainer.train()
+    assert int(trainer.state.step) >= 2
+    # the loss meter saw finite values
+    assert all(np.isfinite(m.avg) for m in trainer.meter.meters.values())

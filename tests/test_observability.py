@@ -89,3 +89,44 @@ def test_general_helpers():
     assert check_img_size(100, 32) == 128
     key = init_seeds(3)
     assert key.shape == (2,)
+
+
+def test_curve_family_and_confusion(tmp_path):
+    """PR/F1/P/R curve family from ap_per_class(plot_dir=...) and the
+    confusion-matrix heatmap (reference utils/metrics.py:312-360,176-199)."""
+    from efficientteacher_tpu.eval.metrics import ap_per_class
+    from efficientteacher_tpu.utils.plots import plot_confusion_matrix
+
+    rng = np.random.default_rng(0)
+    n = 200
+    tp = rng.random((n, 10)) > 0.4
+    conf = rng.random(n)
+    pred_cls = rng.integers(0, 3, n)
+    target_cls = rng.integers(0, 3, 50)
+    ap_per_class(tp, conf, pred_cls, target_cls,
+                 plot_dir=tmp_path, names=["a", "b", "c"])
+    for f in ("PR_curve.png", "F1_curve.png", "P_curve.png", "R_curve.png"):
+        assert (tmp_path / f).exists(), f
+
+    m = np.zeros((4, 4))
+    m[0, 0], m[1, 2], m[3, 1] = 10, 3, 2
+    plot_confusion_matrix(m, tmp_path / "cm.png", names=["a", "b", "c"])
+    assert (tmp_path / "cm.png").exists()
+
+
+def test_pseudo_vs_gt_plot(tmp_path):
+    from efficientteacher_tpu.utils.plots import plot_pseudo_vs_gt
+
+    imgs = np.random.default_rng(1).integers(
+        0, 255, (2, 64, 64, 3), np.uint8
+    )
+    pl = np.zeros((2, 4, 8), np.float32)
+    plm = np.zeros((2, 4), bool)
+    pl[0, 0] = [1, 0.5, 0.5, 0.3, 0.3, 0.9, 0.95, 0.9]
+    plm[0, 0] = True
+    gt = np.zeros((2, 4, 5), np.float32)
+    gtm = np.zeros((2, 4), bool)
+    gt[0, 0] = [1, 0.52, 0.48, 0.3, 0.3]
+    gtm[0, 0] = True
+    plot_pseudo_vs_gt(imgs, pl, plm, gt, gtm, tmp_path / "pg.png")
+    assert (tmp_path / "pg.png").exists()

@@ -1,0 +1,109 @@
+"""Batch engines: forked shared-memory process loader and the thread
+fallback must both yield every batch exactly once with intact content."""
+
+import random
+
+import numpy as np
+import pytest
+
+from efficientteacher_tpu.data.datasets import BatchLoader
+from efficientteacher_tpu.data.parallel_loader import (
+    _FORK_OK,
+    iter_batches_processes,
+    iter_batches_threads,
+)
+
+
+class StubDataset:
+    """Deterministic fixed-shape items keyed by index."""
+
+    def __init__(self, n=20, s=32, m=4):
+        self.n, self.s, self.m = n, s, m
+        self.img_files = [f"/img/{i}.jpg" for i in range(n)]
+        self.rng = random.Random(0)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        img = np.full((self.s, self.s, 3), i, np.uint8)
+        labels = np.full((self.m, 5), float(i), np.float32)
+        mask = np.zeros((self.m,), bool)
+        mask[: i % self.m] = True
+        return img, labels, mask, (self.s, self.s)
+
+
+def _check_epoch(loader, n_batches, bs):
+    seen = set()
+    for batch in loader:
+        assert batch["images"].shape == (bs, 32, 32, 3)
+        for k, i in enumerate(batch["indices"]):
+            # content must match the index that produced it
+            assert int(batch["images"][k, 0, 0, 0]) == i % 256
+            assert float(batch["labels"][k, 0, 0]) == float(i)
+            assert batch["paths"][k] == f"/img/{i}.jpg"
+            seen.add(i)
+    assert len(seen) == n_batches * bs
+
+
+@pytest.mark.parametrize("mode", ["thread", "process"])
+def test_batch_loader_engines(mode):
+    if mode == "process" and not _FORK_OK:
+        pytest.skip("no fork on this platform")
+    ds = StubDataset(n=20)
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, workers=3,
+                         mode=mode)
+    _check_epoch(iter(loader), n_batches=5, bs=4)
+    assert loader.epoch == 1
+    _check_epoch(iter(loader), n_batches=5, bs=4)  # second epoch reshuffles
+
+
+def test_engines_match_synchronous():
+    """Same batches, any order: engine output equals a synchronous build."""
+    ds = StubDataset(n=12)
+    batches = [[0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11]]
+
+    def build(bidx):
+        items = [ds[i] for i in bidx]
+        return {
+            "images": np.stack([it[0] for it in items]),
+            "indices": bidx,
+        }
+
+    want = {tuple(b): build(b)["images"].copy() for b in batches}
+    for it in (
+        iter_batches_threads(build, batches, workers=2),
+        iter_batches_processes(build, batches, workers=2,
+                               reseed=lambda w: None)
+        if _FORK_OK else [],
+    ):
+        got = {}
+        for batch in it:
+            got[tuple(batch["indices"])] = batch["images"].copy()
+        if got:
+            assert set(got) == set(want)
+            for k in want:
+                np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_process_loader_slot_recycling():
+    """More batches than slots: the ring must recycle without corruption."""
+    if not _FORK_OK:
+        pytest.skip("no fork")
+    ds = StubDataset(n=64)
+    batches = [[i, i + 1] for i in range(0, 64, 2)]
+
+    def build(bidx):
+        items = [ds[i] for i in bidx]
+        return {
+            "images": np.stack([it[0] for it in items]),
+            "indices": bidx,
+        }
+
+    seen = []
+    for batch in iter_batches_processes(build, batches, workers=2,
+                                        reseed=lambda w: None, n_slots=3):
+        for k, i in enumerate(batch["indices"]):
+            assert int(batch["images"][k, 0, 0, 0]) == i
+        seen.extend(batch["indices"])
+    assert sorted(seen) == list(range(64))

@@ -213,3 +213,55 @@ def test_quality_no_gt():
     assert 0.4 < q["mean_conf"] < 0.9
     empty = check_pseudo_label(labels, np.zeros((1, 4), bool))
     assert empty["pse_num"] == 0.0
+
+
+def test_ssod_ota_loss():
+    """SSOD.use_ota branch (reference ssod_loss.py:296-345): SimOTA
+    assignment of reliable/uncertain pseudo labels, uncertain scores into
+    tobj, gradients flow; ignore_obj removes uncertain cells."""
+    from efficientteacher_tpu.losses.ssod_loss import compute_ssod_ota_loss
+
+    nc, na = 4, 3
+    rng = np.random.default_rng(5)
+    preds = [
+        jnp.asarray(rng.normal(0, 1, (2, g, g, na, 5 + nc)).astype(np.float32))
+        for g in (8, 4, 2)
+    ]
+    labels, mask = _pseudo_batch(nc)
+    thr_high = jnp.full((nc,), 0.6)
+    thr_low = jnp.full((nc,), 0.35)
+    lc = SSODLossConfig(
+        nc=nc, box_w=0.05, obj_w=1.0, cls_w=0.5 * nc / 80,
+        pseudo_label_with_obj=True, uncertain_aug=True,
+    )
+    strides = (16.0, 32.0, 64.0)  # 128px image, 8/4/2 grids
+    loss, parts = compute_ssod_ota_loss(
+        preds, labels, mask, thr_high, thr_low, ANCHORS_GRID, strides, 128,
+        lc,
+    )
+    assert np.isfinite(float(loss))
+    assert float(parts["ss_box"]) > 0
+    assert float(parts["ss_obj"]) > 0
+    assert float(parts["ss_cls"]) > 0
+
+    def f(ps):
+        l, _ = compute_ssod_ota_loss(
+            ps, labels, mask, thr_high, thr_low, ANCHORS_GRID, strides, 128,
+            lc,
+        )
+        return l
+
+    grads = jax.grad(f)(preds)
+    assert all(np.isfinite(np.asarray(g)).all() for g in grads)
+    assert sum(float(jnp.abs(g).sum()) for g in grads) > 0
+
+    # ignore_obj: the obj loss changes (uncertain cells leave the BCE)
+    lc_ign = SSODLossConfig(
+        nc=nc, box_w=0.05, obj_w=1.0, cls_w=0.5 * nc / 80,
+        pseudo_label_with_obj=True, uncertain_aug=True, ignore_obj=True,
+    )
+    _, parts_ign = compute_ssod_ota_loss(
+        preds, labels, mask, thr_high, thr_low, ANCHORS_GRID, strides, 128,
+        lc_ign,
+    )
+    assert float(parts_ign["ss_obj"]) != float(parts["ss_obj"])

@@ -24,6 +24,11 @@ def parse_opt():
 
 def main(opt):
     logging.basicConfig(level=logging.INFO, format="%(message)s")
+    # multi-host slice (v5p-16 target): one process per host; no-op for
+    # single-process runs (reference train.py:52-59 DDP init, the JAX way)
+    from efficientteacher_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()
     from efficientteacher_tpu.configs import get_cfg
 
     cfg = get_cfg()

@@ -22,6 +22,9 @@ def parse_opt():
                              "(needs pycocotools)")
     parser.add_argument("--confusion", action="store_true",
                         help="print the confusion matrix")
+    parser.add_argument("--plots", type=str, default=None, metavar="DIR",
+                        help="write PR/F1/P/R curve family (and the "
+                             "confusion-matrix heatmap with --confusion)")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     return parser.parse_args()
 
@@ -65,6 +68,7 @@ def main(opt):
         conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
         save_json=opt.save_json, coco_gt_json=opt.coco_gt,
         confusion=opt.confusion, is_coco=is_coco,
+        plots_dir=opt.plots, names=list(cfg.Dataset.names),
     )
     results, maps, cls_thr = out[:3]
     print("P=%.4f R=%.4f mAP50=%.4f mAP50-95=%.4f" % results)
@@ -75,6 +79,17 @@ def main(opt):
 
         with np.printoptions(precision=0, suppress=True):
             print(cm.matrix)
+        if opt.plots:
+            from pathlib import Path
+
+            from efficientteacher_tpu.utils.plots import (
+                plot_confusion_matrix,
+            )
+
+            plot_confusion_matrix(
+                cm.matrix, Path(opt.plots) / "confusion_matrix.png",
+                names=list(cfg.Dataset.names),
+            )
     if opt.save_json:
         print(f"predictions JSON -> {opt.save_json}")
     return results
