@@ -171,6 +171,26 @@ def main():
     # host pipeline + end-to-end (real loader feeding the same jitted step)
     aux = {"host_cores": os.cpu_count() or 1}
     try:
+        # host->device bandwidth: through the axon tunnel this is ~40 MB/s
+        # (one u8 b32@640 batch ~= 0.94 s), which hard-caps ANY e2e number
+        # on this rig at ~<bw/1.2MB-per-img> img/s. A real TPU host feeds
+        # over PCIe/DMA at GB/s; the aux e2e figures below must be read
+        # against h2d_mbps.
+        host_batch = np.asarray(rng.integers(0, 255, (b, img, img, 3)),
+                                np.uint8)
+        float(jnp.asarray(host_batch).sum())  # warm transfer path
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            y = jnp.asarray(host_batch)
+            s_ = y.sum()
+        float(s_)
+        bw = host_batch.nbytes * reps / (time.perf_counter() - t0)
+        aux["h2d_mbps"] = round(bw / 1e6, 1)
+        aux["h2d_cap_imgs_per_sec"] = round(bw / (img * img * 3), 1)
+    except Exception as e:
+        aux["h2d_error"] = str(e)
+    try:
         _, sup_loader, sup_rate, ssod_rate = _loader_benches(img=img, bs=b)
         aux["loader_sup_imgs_per_sec"] = round(sup_rate, 2)
         aux["loader_ssod_imgs_per_sec"] = round(ssod_rate, 2)

@@ -1,20 +1,26 @@
 """OTA loss for anchor-based heads (ComputeLoss.ota_loss), dense-masked.
 
-Parity with reference models/loss/loss.py:215-303 + the assigner's
-build_ota_targets (models/assigner/yolo_anchor_assigner.py:104-…):
-  1. find_3_positive: the classic anchor-ratio + 3-cell-neighbor candidate
-     lattice (same as build_targets) pooled across scales
-  2. per image, SimOTA dynamic-k over the pooled candidates: cost =
-     BCE(sqrt(sigmoid(cls)*sigmoid(obj)), onehot) + 3 * (-log IoU) between
-     decoded candidate predictions and every GT; k from top-10 IoU sums;
-     anchors claimed by several GTs go to the min-cost GT
-  3. matched candidates get CIoU box loss + iou-soft obj targets + cls BCE
-     with the same weights/balance as the default loss
+Parity with reference models/loss/loss.py ota_loss + the assigner's
+build_ota_targets (models/assigner/yolo_anchor_assigner.py:104-234),
+verified NUMERICALLY against the live reference in
+tests/test_reference_parity.py. The reference runs TWO passes and sums:
+  1. SimOTA pass — find_3_positive candidates pooled across scales; per
+     image dynamic-k: cost = BCE(sqrt(sigmoid(cls)*sigmoid(e2e)), onehot)
+     + 3*(-log IoU); k from top-`top_k` IoU sums; multi-claimed candidates
+     go to the min-cost GT. Matched candidates get CIoU box + cls BCE;
+     the obj BCE of THIS pass reads pi[..., -1] (the reference's
+     'p_obj_e2e' quirk — the last class channel, not obj).
+  2. the classic build_targets pass (the default ComputeLoss body) added
+     on top, obj BCE on the real obj channel.
+Reference quirk NOT mirrored: GT boxes in the SimOTA cost are scaled by a
+hardcoded 640 (yolo_anchor_assigner.py '* 640 #TODO'); we use the true
+img_size (identical at 640, correct elsewhere).
 
 Selected by cfg.Loss.assigner_type == 'SimOTA' with an anchor head
 (the yolov7s-simota zoo config). The pooled-candidate / SimOTA pieces are
 factored out so the SSOD OTA branch (losses/ssod_loss.py
-compute_ssod_ota_loss, reference ssod_loss.py:296-345) reuses them.
+compute_ssod_ota_loss, reference ssod_loss.py:296-345 — single-pass, real
+obj channel) reuses them.
 """
 
 from __future__ import annotations
@@ -70,14 +76,21 @@ def ota_candidates(preds, assignments, strides) -> OTACandidates:
 
 
 def simota_match(gt_box_px, gt_cls, gt_mask, cand: OTACandidates,
-                 cand_valid, nc: int, top_k: int = 10):
+                 cand_valid, nc: int, top_k: int = 10, cost_obj=None):
     """Per-image SimOTA dynamic-k matching over pooled candidates
     (reference yolo_anchor_assigner.py build_ota_targets SimOTA core).
+
+    cost_obj: per-slot logits multiplied into the cls cost. Defaults to the
+    obj channel (the build_ota_targets_with_score variant, :440-470); the
+    supervised build_ota_targets instead feeds fg_pred[:, -1]
+    ('p_obj_e2e', :156-200) — pass that explicitly for that path.
 
     Returns (fg (B, K) bool, matched (B, K) int32 gt index)."""
     k_total = cand_valid.shape[1]
     kk = min(top_k, k_total)
     m = gt_mask.shape[1]
+    if cost_obj is None:
+        cost_obj = cand.ps[..., 4]
 
     def assign_one(gt_box, gt_c, gt_m, boxes, valid, obj_logit, cls_logit):
         iou = bbox_iou(gt_box[:, None, :], boxes[None, :, :],
@@ -110,7 +123,7 @@ def simota_match(gt_box_px, gt_cls, gt_mask, cand: OTACandidates,
 
     return jax.vmap(assign_one)(
         gt_box_px, gt_cls, gt_mask, cand.pbox_px, cand_valid,
-        cand.ps[..., 4], cand.ps[..., 5 : 5 + nc],
+        cost_obj, cand.ps[..., 5 : 5 + nc],
     )
 
 
@@ -149,8 +162,11 @@ def compute_ota_loss(
     valid = jnp.concatenate([a.valid for a in assignments], axis=1)
     gt_cls = labels[..., 0].astype(jnp.int32)
     gt_box_px = labels[..., 1:5] * float(img_size)
+    # reference quirk compat: the supervised build_ota_targets multiplies
+    # its cls cost by sigmoid(fg_pred[:, -1]) ('p_obj_e2e',
+    # yolo_anchor_assigner.py:156-200), NOT the obj channel
     fg, matched = simota_match(gt_box_px, gt_cls, label_mask, cand, valid,
-                               nc, top_k)
+                               nc, top_k, cost_obj=cand.ps[..., -1])
 
     cp, cn = smooth_bce(lc.label_smoothing)
     lbox = 0.0
@@ -176,8 +192,10 @@ def compute_ota_loss(
         tobj = jax.vmap(lambda t, f, v: t.at[f].max(v, mode="drop"))(
             tobj, flat, (1.0 - lc.gr) + lc.gr * score_iou
         )
+        # reference quirk: the OTA pass's obj BCE reads pi[..., -1]
+        # ('obji = self.BCEobj(pi[...,-1], tobj)' in loss.py ota_loss)
         obji = jnp.mean(bce_with_logits(
-            p[..., 4].reshape(bsz, -1), tobj, lc.obj_pw
+            p[..., -1].reshape(bsz, -1), tobj, lc.obj_pw
         ))
         lobj = lobj + obji * lc.balance[i]
 
@@ -192,5 +210,14 @@ def compute_ota_loss(
     lbox = lbox * lc.box_w
     lobj = lobj * lc.obj_w
     lcls = lcls * lc.cls_w
+
+    # pass 2: the classic build_targets loss added on top (reference
+    # ota_loss runs the default-assigner loop after the SimOTA one)
+    from .yolov5_loss import compute_loss as _classic_loss
+
+    _, classic = _classic_loss(preds, labels, label_mask, anchors_grid, lc)
+    lbox = lbox + classic["box"]
+    lobj = lobj + classic["obj"]
+    lcls = lcls + classic["cls"]
     loss = (lbox + lobj + lcls) * b
     return loss, {"box": lbox, "obj": lobj, "cls": lcls, "loss": loss}

@@ -527,20 +527,12 @@ class SPPCSPC(nn.Module):
         )
 
 
-class SimConv(nn.Module):
-    """Conv+BN+ReLU (reference common.py:1136-1154)."""
+class SimConv(ConvBase):
+    """Conv+BN+ReLU (reference common.py:1136-1154). Subclasses ConvBase so
+    its conv/bn params sit at the module's own scope, mirroring the
+    reference state_dict keys (<name>.conv.weight / <name>.bn.*)."""
 
-    c2: int
-    k: int = 1
-    s: int = 1
-    dtype: Dtype = jnp.float32
-    axis_name: str | None = None
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        return ConvBase(self.c2, self.k, self.s, act="relu",
-                        dtype=self.dtype, axis_name=self.axis_name,
-                        name="conv")(x, train)
+    act: Any = "relu"
 
 
 class Transpose(nn.Module):
@@ -589,18 +581,12 @@ class ImplicitM(nn.Module):
         return x * im.astype(x.dtype)
 
 
-class SimSPPF(nn.Module):
-    """SPPF with ReLU (YOLOv6, reference common.py SimSPPF)."""
+class SimSPPF(SPPF):
+    """SPPF with ReLU (YOLOv6, reference common.py:1174-1190). Subclasses
+    SPPF so cv1/cv2 sit at the module's own scope (the reference names the
+    SimSPPF instance ERBlock_5_2 with cv1/cv2 children)."""
 
-    c2: int
-    k: int = 5
-    dtype: Dtype = jnp.float32
-    axis_name: str | None = None
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        return SPPF(self.c2, self.k, act="relu", dtype=self.dtype,
-                    axis_name=self.axis_name, name="sppf")(x, train)
+    act: Any = "relu"
 
 
 # YOLOv7's RepConv (reference common.py:1219-1400) is structurally the

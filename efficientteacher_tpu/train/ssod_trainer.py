@@ -176,7 +176,9 @@ class SSODTrainer(Trainer):
             compute_dtype=self.compute_dtype,
             extra_teachers=extra,
             use_ota=bool(cfg.SSOD.use_ota),
-            ota_top_k=int(cfg.Loss.top_k),
+            # the reference's SSOD assigner is built WITHOUT top_k, i.e. the
+            # YOLOAnchorAssigner ctor default 1 (ssod_loss.py:71-72)
+            ota_top_k=1,
         )
 
     # -- epoch logic --------------------------------------------------------

@@ -279,10 +279,11 @@ class Trainer:
 
                 strides = self.spec.strides
                 img = self.img_size
+                top_k = int(cfg.Loss.top_k)  # reference loss.py:131-137
 
                 def det_loss(raw, labels, mask):
                     return compute_ota_loss(raw, labels, mask, anchors,
-                                            strides, img, lc)
+                                            strides, img, lc, top_k=top_k)
             else:
                 def det_loss(raw, labels, mask):
                     from ..losses.yolov5_loss import compute_loss

@@ -131,6 +131,22 @@ def _extract_state_dict(obj, prefix: str = "") -> Dict[str, object]:
     return out
 
 
+# reference RepConv (v7 neck) holds conv/bn in a plain Sequential, so its
+# keys are rbr_dense.0 / rbr_dense.1 (models/backbone/common.py RepConv);
+# our flax block names the two layers explicitly
+_SEQ_RENAMES = {
+    "rbr_dense_0": "rbr_dense_conv",
+    "rbr_dense_1": "rbr_dense_bn",
+    "rbr_1x1_0": "rbr_1x1_conv",
+    "rbr_1x1_1": "rbr_1x1_bn",
+}
+
+# reference ScaleLayer modules (LinearAddBlock, common.py:1650-1678) store
+# their per-channel scale as <name>.weight; our flax block keeps the vector
+# as a direct param leaf named <name>
+_SCALE_LAYERS = ("scale_conv", "scale_1x1", "scale_identity")
+
+
 def map_torch_name(key: str, ndim: int) -> Tuple[Tuple[str, ...], str, str]:
     """Reference torch name -> (flax path, leaf name, collection).
 
@@ -143,9 +159,29 @@ def map_torch_name(key: str, ndim: int) -> Tuple[Tuple[str, ...], str, str]:
             merged[-1] = f"{merged[-1]}_{p}"
         else:
             merged.append(p)
+    merged = [_SEQ_RENAMES.get(p, p) for p in merged]
+    # v6-style RepVGGBlock names its cells (rbr_dense.conv / rbr_dense.bn,
+    # reference conv_bn at common.py:982) — fuse into the same flax names
+    fused = []
+    for p in merged:
+        if fused and fused[-1] in ("rbr_dense", "rbr_1x1") and p in (
+            "conv", "bn"
+        ):
+            fused[-1] = f"{fused[-1]}_{p}"
+        else:
+            fused.append(p)
+    merged = fused
     leaf = merged[-1]
     path = merged[:-1]
-    if leaf in ("anchors", "anchor_grid", "num_batches_tracked", "stride"):
+    if (leaf == "weight" and ndim == 1 and path
+            and path[-1] in _SCALE_LAYERS):
+        return tuple(path[:-1]), path[-1], "params"
+    if leaf in ("anchors", "anchor_grid", "num_batches_tracked", "stride",
+                "proj"):
+        return tuple(path), leaf, "drop"
+    if path and path[-1] == "proj_conv":
+        # DFL projection conv: a CONSTANT arange kernel (reference
+        # yolov6_head.py); our heads compute the projection arithmetically
         return tuple(path), leaf, "drop"
     if leaf == "running_mean":
         return tuple(path), "mean", "batch_stats"
@@ -206,8 +242,10 @@ def export_to_torch_state_dict(params, batch_stats) -> Dict[str, np.ndarray]:
                 walk(v, path + [k], coll)
             return
         arr = np.asarray(node)
+        inv_seq = {v: k for k, v in _SEQ_RENAMES.items()}
         parts = []
         for p in path[:-1]:
+            p = inv_seq.get(p, p)
             # m_0 -> m.0
             if "_" in p and p.rsplit("_", 1)[-1].isdigit():
                 stem, idx = p.rsplit("_", 1)
@@ -217,6 +255,10 @@ def export_to_torch_state_dict(params, batch_stats) -> Dict[str, np.ndarray]:
         leaf = path[-1]
         if coll == "batch_stats":
             leaf = {"mean": "running_mean", "var": "running_var"}[leaf]
+        elif leaf in _SCALE_LAYERS and arr.ndim == 1:
+            # flax scale vector leaf -> reference ScaleLayer <name>.weight
+            parts.append(leaf)
+            leaf = "weight"
         else:
             leaf = {"scale": "weight", "kernel": "weight"}.get(leaf, leaf)
         if arr.ndim == 4:

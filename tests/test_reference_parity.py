@@ -67,7 +67,8 @@ def _build_ours(yaml_rel: str):
     return build_model(spec, ssod=False), spec, cfg
 
 
-def _forward_parity(yaml_rel: str, img: int = 64, atol: float = 2e-4):
+def _forward_parity(yaml_rel: str, img: int = 64, atol: float = 2e-4,
+                    compare_raw: bool = True):
     ref_model, _ = build_ref_model(yaml_rel)
     _perturb_bn_stats(ref_model)
     model, spec, _ = _build_ours(yaml_rel)
@@ -85,7 +86,8 @@ def _forward_parity(yaml_rel: str, img: int = 64, atol: float = 2e-4):
     rng = np.random.default_rng(0)
     xn = rng.standard_normal((1, 3, img, img), np.float32)
     with torch.no_grad():
-        t_dec, t_raw = ref_model(torch.from_numpy(xn))
+        out = ref_model(torch.from_numpy(xn))
+    t_dec, t_raw = out[0], out[1]
 
     variables = {
         "params": jax.tree.map(jnp.asarray, params),
@@ -95,12 +97,13 @@ def _forward_parity(yaml_rel: str, img: int = 64, atol: float = 2e-4):
         variables, jnp.asarray(xn.transpose(0, 2, 3, 1)), train=False
     )
 
-    assert len(o_raw) == len(t_raw)
-    for i, (tr, orr) in enumerate(zip(t_raw, o_raw)):
-        want = tr.numpy()  # (B, na, ny, nx, no)
-        got = np.asarray(orr, np.float32).transpose(0, 3, 1, 2, 4)
-        np.testing.assert_allclose(got, want, atol=atol, rtol=1e-4,
-                                   err_msg=f"raw scale {i}")
+    if compare_raw:  # anchor heads: (B, na, ny, nx, no) raw maps
+        assert len(o_raw) == len(t_raw)
+        for i, (tr, orr) in enumerate(zip(t_raw, o_raw)):
+            want = tr.numpy()
+            got = np.asarray(orr, np.float32).transpose(0, 3, 1, 2, 4)
+            np.testing.assert_allclose(got, want, atol=atol, rtol=1e-4,
+                                       err_msg=f"raw scale {i}")
     np.testing.assert_allclose(
         np.asarray(o_dec, np.float32), t_dec.numpy(), atol=atol * 10,
         rtol=1e-4, err_msg="eval decode",
@@ -113,6 +116,27 @@ def test_forward_parity_yolov5s():
 
 def test_forward_parity_yolov5l():
     _forward_parity("sup/public/yolov5l_coco.yaml")
+
+
+def test_forward_parity_yolov7l():
+    """IDetect head: implicit add/mul layers ride through the importer."""
+    _forward_parity("sup/public/yolov7l_coco.yaml")
+
+
+def test_forward_parity_yolox():
+    """Anchor-free decoupled head (stems/cls/reg/obj branches)."""
+    _forward_parity("sup/public/yolox_coco.yaml", compare_raw=False)
+
+
+def test_forward_parity_yolov6s():
+    """EfficientRep backbone + RepPAN + DFL head decode."""
+    _forward_parity("sup/public/yolov6s_coco_repopt.yaml",
+                    compare_raw=False)
+
+
+def test_forward_parity_yolov8m():
+    """C2f backbone + v8 DFL head decode."""
+    _forward_parity("sup/public/yolov8m_coco.yaml", compare_raw=False)
 
 
 def test_loss_parity_yolov5():
@@ -232,3 +256,154 @@ def test_nms_parity_ssod_columns():
     np.testing.assert_allclose(dets[:, :4], w[:, :4], rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(dets[:, 6], w[:, 6], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(dets[:, 7], w[:, 7], rtol=1e-5, atol=1e-5)
+
+
+def test_ssod_loss_parity():
+    """compute_ssod_loss vs the real ComputeStudentMatchLoss
+    (reference models/loss/ssod/ssod_loss.py:26-295) on identical
+    (pred, pseudo targets)."""
+    from efficientteacher_tpu.losses.ssod_loss import (
+        SSODLossConfig, compute_ssod_loss,
+    )
+
+    yaml_rel = "sup/public/yolov5s_coco.yaml"
+    ref_model, ref_cfg = build_ref_model(yaml_rel)
+    ref_cfg.defrost()
+    ref_cfg.SSOD.uncertain_aug = True
+    ref_cfg.SSOD.pseudo_label_with_obj = True
+    ref_cfg.SSOD.pseudo_label_with_bbox = True
+    ref_cfg.SSOD.pseudo_label_with_cls = True
+    ref_cfg.SSOD.ignore_obj = False
+    ref_cfg.SSOD.focal_loss = 0
+    ref_cfg.SSOD.ignore_thres_high = 0.6
+    ref_cfg.SSOD.ignore_thres_low = 0.3
+    ref_cfg.freeze()
+    import importlib
+
+    ssod_mod = importlib.import_module("models.loss.ssod.ssod_loss")
+    ref_loss = ssod_mod.ComputeStudentMatchLoss(ref_model, ref_cfg)
+
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(REF_ROOT, "configs", yaml_rel))
+    cfg.SSOD.uncertain_aug = True
+    cfg.SSOD.pseudo_label_with_obj = True
+    cfg.SSOD.pseudo_label_with_bbox = True
+    cfg.SSOD.pseudo_label_with_cls = True
+    cfg.SSOD.ignore_obj = False
+    cfg.SSOD.focal_loss = 0
+    spec = spec_from_cfg(cfg)
+    lc = SSODLossConfig.from_cfg(cfg, nl=spec.nl)
+    s = np.asarray(spec.strides, np.float32)[:, None, None]
+    anchors_grid = (
+        np.asarray(spec.anchors, np.float32).reshape(spec.nl, -1, 2) / s
+    )
+
+    B, img, nc, na = 2, 64, cfg.Dataset.nc, 3
+    no = nc + 5
+    rng = np.random.default_rng(7)
+    preds_t, preds_j = [], []
+    for st in spec.strides:
+        g = img // int(st)
+        raw = rng.standard_normal((B, na, g, g, no)).astype(np.float32) * 0.6
+        preds_t.append(torch.from_numpy(raw))
+        preds_j.append(jnp.asarray(raw.transpose(0, 2, 3, 1, 4)))
+
+    # [img, cls, xywhn, conf, obj_conf, cls_conf]: reliable / uncertain
+    # (+obj, +cls variants) / below-low, well-separated cells
+    rows = np.array(
+        [
+            [0, 3, 0.25, 0.25, 0.20, 0.30, 0.90, 0.95, 0.40],   # reliable
+            [0, 17, 0.75, 0.60, 0.35, 0.30, 0.45, 0.995, 0.50],  # uc + obj
+            [1, 0, 0.50, 0.30, 0.12, 0.12, 0.42, 0.50, 0.997],   # uc + cls
+            [1, 42, 0.20, 0.80, 0.50, 0.25, 0.35, 0.995, 0.995],  # uc both
+            [1, 9, 0.85, 0.15, 0.08, 0.20, 0.10, 0.20, 0.20],    # dropped
+        ],
+        np.float32,
+    )
+    want_total, want = ref_loss(preds_t, torch.from_numpy(rows))
+
+    M = 8
+    labels = np.zeros((B, M, 8), np.float32)
+    mask = np.zeros((B, M), bool)
+    for bi in range(B):
+        sel = rows[rows[:, 0] == bi][:, 1:]
+        labels[bi, : len(sel)] = sel
+        mask[bi, : len(sel)] = True
+    thr_high = jnp.full((nc,), 0.6)
+    thr_low = jnp.full((nc,), 0.3)
+    got_total, got = compute_ssod_loss(
+        preds_j, jnp.asarray(labels), jnp.asarray(mask), thr_high, thr_low,
+        anchors_grid, lc,
+    )
+    for k in ("ss_box", "ss_obj", "ss_cls"):
+        np.testing.assert_allclose(
+            float(got[k]), float(want[k]), rtol=3e-4, atol=1e-6,
+            err_msg=f"ssod component {k}",
+        )
+    np.testing.assert_allclose(float(got_total), float(want_total),
+                               rtol=3e-4, atol=1e-6)
+
+
+def test_ota_loss_parity():
+    """compute_ota_loss vs the real ComputeLoss.ota_loss (reference
+    models/loss/loss.py:213-303 with assigner_type=SimOTA)."""
+    from efficientteacher_tpu.losses.yolov5_ota_loss import compute_ota_loss
+
+    yaml_rel = "sup/public/yolov5s_coco.yaml"
+    ref_model, ref_cfg = build_ref_model(yaml_rel)
+    ref_cfg.defrost()
+    ref_cfg.Loss.assigner_type = "SimOTA"
+    ref_cfg.freeze()
+    ns = load_reference()
+    ref_loss = ns.ComputeLoss(ref_model, ref_cfg)
+
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(REF_ROOT, "configs", yaml_rel))
+    spec = spec_from_cfg(cfg)
+    lc = YoloV5LossConfig.from_cfg(cfg, nl=spec.nl)
+    s = np.asarray(spec.strides, np.float32)[:, None, None]
+    anchors_grid = (
+        np.asarray(spec.anchors, np.float32).reshape(spec.nl, -1, 2) / s
+    )
+
+    # img must be 640: the reference scales GT boxes by a HARDCODED 640
+    # (yolo_anchor_assigner.py:128 'txywh = this_target[:, 2:6] * 640 #TODO')
+    # while predictions use the true grid; our impl uses the real img_size,
+    # so the two agree exactly at 640
+    B, img, nc, na = 2, 640, cfg.Dataset.nc, 3
+    no = nc + 5
+    rng = np.random.default_rng(9)
+    preds_t, preds_j = [], []
+    for st in spec.strides:
+        g = img // int(st)
+        raw = rng.standard_normal((B, na, g, g, no)).astype(np.float32) * 0.5
+        preds_t.append(torch.from_numpy(raw))
+        preds_j.append(jnp.asarray(raw.transpose(0, 2, 3, 1, 4)))
+
+    targets = np.array(
+        [
+            [0, 3, 0.30, 0.30, 0.25, 0.30],
+            [0, 17, 0.75, 0.65, 0.30, 0.30],
+            [1, 0, 0.45, 0.25, 0.15, 0.15],
+            [1, 42, 0.20, 0.80, 0.45, 0.25],
+        ],
+        np.float32,
+    )
+    want_total, want = ref_loss(preds_t, torch.from_numpy(targets))
+
+    M = 8
+    labels = np.zeros((B, M, 5), np.float32)
+    mask = np.zeros((B, M), bool)
+    for bi in range(B):
+        sel = targets[targets[:, 0] == bi][:, 1:]
+        labels[bi, : len(sel)] = sel
+        mask[bi, : len(sel)] = True
+    got_total, got = compute_ota_loss(
+        preds_j, jnp.asarray(labels), jnp.asarray(mask), anchors_grid,
+        spec.strides, img, lc, top_k=int(cfg.Loss.top_k),
+    )
+    for k in ("box", "obj", "cls"):
+        np.testing.assert_allclose(
+            float(got[k]), float(want[k]), rtol=1e-3, atol=1e-6,
+            err_msg=f"ota component {k}",
+        )

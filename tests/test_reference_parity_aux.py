@@ -1,0 +1,125 @@
+"""Auxiliary external parity anchors: eval metrics and the EMA chain
+against the live reference implementations (tests/ref_compat.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ref_compat import REF_ROOT, load_reference  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference checkout not present"
+)
+
+
+def _random_stats(rng, n=400, nc=6, n_iou=10):
+    tp = rng.random((n, n_iou))
+    # monotone: tp at looser IoU implies tp at stricter-ordered columns
+    tp = np.sort(tp, axis=1)[:, ::-1] > 0.45
+    conf = rng.random(n)
+    pred_cls = rng.integers(0, nc, n)
+    target_cls = rng.integers(0, nc, 150)
+    return tp.astype(np.float64), conf, pred_cls, target_cls
+
+
+def test_ap_per_class_parity():
+    """eval/metrics.ap_per_class vs reference utils/metrics.py:22-80 on the
+    same (tp, conf, pred_cls, target_cls)."""
+    import importlib
+
+    load_reference()
+    ref_metrics = importlib.import_module("utils.metrics")
+    from efficientteacher_tpu.eval.metrics import ap_per_class
+
+    rng = np.random.default_rng(0)
+    tp, conf, pred_cls, target_cls = _random_stats(rng)
+    rp, rr, rap, rf1, rcls = ref_metrics.ap_per_class(
+        tp, conf, pred_cls, target_cls, names={i: str(i) for i in range(6)}
+    )[:5]
+    op, orr, oap, of1, ocls, _ = ap_per_class(tp, conf, pred_cls, target_cls)
+    np.testing.assert_array_equal(ocls, rcls)
+    np.testing.assert_allclose(oap, rap, atol=1e-6, err_msg="AP matrix")
+    np.testing.assert_allclose(op, rp, atol=1e-6)
+    np.testing.assert_allclose(orr, rr, atol=1e-6)
+    np.testing.assert_allclose(of1, rf1, atol=1e-6)
+
+
+def test_process_batch_parity():
+    """TP matrix matching vs reference val.py:123-146 process_batch."""
+    import importlib.util
+
+    load_reference()
+    spec = importlib.util.spec_from_file_location(
+        "ref_val", os.path.join(REF_ROOT, "val.py")
+    )
+    ref_metrics = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_metrics)
+    from efficientteacher_tpu.eval.metrics import process_batch
+
+    rng = np.random.default_rng(1)
+    iouv_np = np.linspace(0.5, 0.95, 10)
+    det = np.zeros((12, 6), np.float32)
+    det[:, 0:2] = rng.uniform(0, 500, (12, 2))
+    det[:, 2:4] = det[:, 0:2] + rng.uniform(10, 120, (12, 2))
+    det[:, 4] = np.sort(rng.random(12))[::-1]
+    det[:, 5] = rng.integers(0, 4, 12)
+    labels = np.zeros((6, 5), np.float32)
+    labels[:, 0] = rng.integers(0, 4, 6)
+    labels[:, 1:3] = det[:6, 0:2] + rng.uniform(-8, 8, (6, 2))
+    labels[:, 3:5] = labels[:, 1:3] + rng.uniform(10, 120, (6, 2))
+    want = ref_metrics.process_batch(
+        torch.from_numpy(det), torch.from_numpy(labels),
+        torch.from_numpy(iouv_np.astype(np.float32)),
+    )
+    want = want.numpy() if hasattr(want, "numpy") else np.asarray(want)
+    got = process_batch(det, labels, iouv_np)
+    np.testing.assert_array_equal(got.astype(bool), want.astype(bool))
+
+
+def test_ema_chain_parity():
+    """train_state.ema_update vs reference ModelEMA
+    (utils/torch_utils.py:308-340): identical ramp decay and identical
+    parameter trajectory over several updates."""
+    from efficientteacher_tpu.train.train_state import EMAState, ema_update
+
+    load_reference()
+    import importlib
+
+    tu = importlib.import_module("utils.torch_utils")
+
+    m = torch.nn.Sequential(
+        torch.nn.Linear(4, 8), torch.nn.ReLU(), torch.nn.Linear(8, 2)
+    )
+    ema = tu.ModelEMA(m, decay=0.9999, updates=0)
+
+    params0 = {
+        str(i): p.detach().numpy().copy()
+        for i, p in enumerate(m.parameters())
+    }
+    state = EMAState(
+        params=params0,
+        batch_stats={},
+        updates=jnp.int32(0),
+    )
+    g = torch.Generator().manual_seed(0)
+    for step in range(5):
+        with torch.no_grad():
+            for p in m.parameters():
+                p += torch.randn(p.shape, generator=g) * 0.1
+        ema.update(m)
+        cur = {
+            str(i): p.detach().numpy()
+            for i, p in enumerate(m.parameters())
+        }
+        state = ema_update(state, cur, {}, 0.9999, ramp=True)
+    for i, p in enumerate(ema.ema.parameters()):
+        np.testing.assert_allclose(
+            np.asarray(state.params[str(i)]), p.detach().numpy(),
+            rtol=1e-5, atol=1e-7, err_msg=f"ema param {i} after 5 updates",
+        )
