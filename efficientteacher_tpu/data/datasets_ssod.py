@@ -193,16 +193,18 @@ class SSODBatchLoader(BatchLoader):
 
 
 def create_target_dataloader(cfg, batch_size: Optional[int] = None,
-                             seed: int = 0):
+                             seed: int = 0, augment: bool = True):
     """Factory mirroring reference create_target_dataloader
-    (utils/datasets_ssod.py:67)."""
+    (utils/datasets_ssod.py:67). augment=False serves raw letterboxed
+    weak views for the device-side dual-view path
+    (ops/augment_device.device_ssod_views)."""
     hyp = {k: cfg.SSOD.ssod_hyp[k] for k in cfg.SSOD.ssod_hyp}
     with_gt = bool(cfg.SSOD.ssod_hyp.with_gt or cfg.SSOD.debug)
     ds = LoadImagesAndFakeLabels(
         cfg.Dataset.target,
         img_size=cfg.Dataset.img_size,
         hyp=hyp,
-        augment=True,
+        augment=augment,
         nc=cfg.Dataset.nc,
         max_targets=cfg.Dataset.max_targets,
         single_cls=cfg.single_cls,

@@ -354,3 +354,128 @@ def device_augment_batch(key, images, labels, mask, hyp: Dict,
     quad_mask = mask[idx]
     p_mos = jnp.full((b,), float(hyp.get("mosaic", 1.0)))
     return jax.vmap(one)(keys, quad_imgs, quad_labels, quad_mask, p_mos)
+
+
+# -- SSOD dual view -------------------------------------------------------------
+
+def device_ssod_views(key, images, labels, mask, hyp: Dict,
+                      max_out: int = 0):
+    """Device-side SSOD weak/strong pair (data/datasets_ssod.py
+    LoadImagesAndFakeLabels.__getitem__, reference utils/datasets_ssod.py):
+
+      weak   = in-batch mosaic-4 of letterboxed tiles, 2s canvas resized
+               to s (reference :768 half-scale)
+      strong = recorded affine warp of the weak view + HSV + flips
+      M_s    = the 13-vector transform record [batch_idx, M (9), s,
+               flipud, fliplr] the pseudo-label path consumes
+
+    images (B, s, s, 3) uint8; labels (B, M, 5) [cls, xywhn] (zeros when
+    the pool is unlabeled); mask (B, M).
+    Returns (strong u8, labels (B, Mo, 5) xywhn on the STRONG view, mask,
+    weak u8, m_s (B, 13)).
+
+    Deviation: the host strong view can additionally apply cutout and
+    AutoAugment (ssod_hyp.cutout/autoaugment); the device path covers
+    mosaic/affine/HSV/flips — use the host loader when those two matter.
+    """
+    b, s = images.shape[0], images.shape[1]
+    m = labels.shape[1]
+    mo = max_out or 4 * m
+    use_mosaic = float(hyp.get("mosaic", 1.0)) > 0
+
+    kperm, kbatch = jax.random.split(key)
+    shifts = 1 + jax.random.randint(kperm, (3,), 0, b - 1) if b > 1 else (
+        jnp.zeros((3,), jnp.int32))
+    idx = jnp.stack(
+        [jnp.arange(b)] + [(jnp.arange(b) + shifts[j]) % b for j in range(3)],
+        axis=1,
+    )
+
+    def one(key_i, quad_imgs, quad_labels, quad_mask, bi):
+        km, kg, kw, kh, kfl, kfu = jax.random.split(key_i, 6)
+        if use_mosaic:
+            canvas, boxes2s, valid = mosaic4_device(
+                km, quad_imgs, quad_labels, quad_mask, s
+            )
+            do_mos = jax.random.uniform(kg, ()) < float(hyp["mosaic"])
+            solo = quad_imgs[0].astype(jnp.float32)
+            weak = jnp.where(
+                do_mos,
+                jax.image.resize(canvas, (s, s, 3), method="bilinear"),
+                solo,
+            )
+            # boxes on the weak view: mosaic coords / 2 vs the solo tile
+            cls0 = quad_labels[0, :, 0:1]
+            cx = quad_labels[0, :, 1] * s
+            cy = quad_labels[0, :, 2] * s
+            bw = quad_labels[0, :, 3] * s
+            bh = quad_labels[0, :, 4] * s
+            solo_boxes = jnp.concatenate(
+                [cls0, jnp.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2,
+                                  cy + bh / 2], -1)], axis=-1)
+            solo_boxes = jnp.concatenate(
+                [solo_boxes, jnp.zeros((3 * m, 5), jnp.float32)], axis=0)
+            solo_valid = jnp.concatenate(
+                [quad_mask[0], jnp.zeros((3 * m,), bool)], axis=0)
+            boxes = jnp.where(
+                do_mos,
+                boxes2s.at[:, 1:].set(boxes2s[:, 1:] * 0.5),
+                solo_boxes,
+            )
+            valid = jnp.where(do_mos, valid, solo_valid)
+        else:
+            weak = quad_imgs[0].astype(jnp.float32)
+            cls0 = quad_labels[0, :, 0:1]
+            cx = quad_labels[0, :, 1] * s
+            cy = quad_labels[0, :, 2] * s
+            bw = quad_labels[0, :, 3] * s
+            bh = quad_labels[0, :, 4] * s
+            boxes = jnp.concatenate(
+                [cls0, jnp.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2,
+                                  cy + bh / 2], -1)], axis=-1)
+            valid = quad_mask[0]
+
+        M, sc = build_affine_device(
+            kw, s, s,
+            float(hyp.get("degrees", 0.0)), float(hyp.get("translate", 0.1)),
+            float(hyp.get("scale", 0.5)), float(hyp.get("shear", 0.0)),
+            float(hyp.get("perspective", 0.0)), (0, 0),
+        )
+        strong = warp_image_device(weak, M, s, s)
+        new = warp_boxes_device(boxes[:, 1:], M, s, s)
+        keep = valid & box_candidates_device(boxes[:, 1:], new, sc)
+
+        strong = hsv_jitter_device(kh, strong, float(hyp.get("hsv_h", 0.0)),
+                                   float(hyp.get("hsv_s", 0.0)),
+                                   float(hyp.get("hsv_v", 0.0)))
+        do_lr = jax.random.uniform(kfl, ()) < float(hyp.get("fliplr", 0.0))
+        do_ud = jax.random.uniform(kfu, ()) < float(hyp.get("flipud", 0.0))
+        strong = jnp.where(do_lr, strong[:, ::-1], strong)
+        strong = jnp.where(do_ud, strong[::-1], strong)
+        x1, y1, x2, y2 = new[:, 0], new[:, 1], new[:, 2], new[:, 3]
+        x1, x2 = (jnp.where(do_lr, s - x2, x1), jnp.where(do_lr, s - x1, x2))
+        y1, y2 = (jnp.where(do_ud, s - y2, y1), jnp.where(do_ud, s - y1, y2))
+
+        m_s = jnp.concatenate([
+            jnp.array([bi], jnp.float32),
+            M.reshape(-1).astype(jnp.float32),
+            jnp.array([sc], jnp.float32),
+            do_ud.astype(jnp.float32)[None],
+            do_lr.astype(jnp.float32)[None],
+        ])
+
+        out = jnp.stack([
+            boxes[:, 0],
+            (x1 + x2) / 2 / s, (y1 + y2) / 2 / s,
+            (x2 - x1) / s, (y2 - y1) / s,
+        ], axis=-1)
+        order = jnp.argsort(~keep)
+        out = out[order][:mo]
+        keep = keep[order][:mo]
+        return (jnp.clip(strong, 0, 255).astype(jnp.uint8),
+                jnp.where(keep[:, None], out, 0.0), keep,
+                jnp.clip(weak, 0, 255).astype(jnp.uint8), m_s)
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(kbatch, i))(jnp.arange(b))
+    return jax.vmap(one)(keys, images[idx], labels[idx], mask[idx],
+                         jnp.arange(b, dtype=jnp.int32))

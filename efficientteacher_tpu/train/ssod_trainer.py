@@ -112,9 +112,22 @@ class SSODTrainer(Trainer):
 
     def build_dataloader(self, cfg):
         super().build_dataloader(cfg)
+        # device_aug: the target loader serves raw letterboxed weak views;
+        # mosaic/affine/HSV/flips + the M_s record are produced on-TPU
+        # (ops/augment_device.device_ssod_views)
         self.target_loader = create_target_dataloader(
-            cfg, batch_size=self.batch_size
+            cfg, batch_size=self.batch_size, augment=not self.device_aug
         )
+        if self.device_aug:
+            import functools
+
+            from ..ops.augment_device import device_ssod_views
+
+            hyp = {k: cfg.SSOD.ssod_hyp[k] for k in cfg.SSOD.ssod_hyp}
+            self._ssod_aug_fn = jax.jit(functools.partial(
+                device_ssod_views, hyp=hyp,
+                max_out=int(cfg.Dataset.max_targets),
+            ))
         self.target_with_gt = bool(cfg.SSOD.ssod_hyp.with_gt or cfg.SSOD.debug)
         self.label_match = LabelMatch(
             cfg,
@@ -228,6 +241,11 @@ class SSODTrainer(Trainer):
             images, labels, mask = self._shard(
                 batch["images"], batch["labels"], batch["mask"]
             )
+            if self.device_aug:
+                key = jax.random.fold_in(jax.random.PRNGKey(1), ni)
+                images, labels, mask = self._device_aug_fn(
+                    key, images, labels.astype(jnp.float32), mask
+                )
             self.state, parts = self.burn_step(
                 self.state, images, labels, mask,
                 t_imgs, sched, jnp.float32(self._semi_decay()),
@@ -263,6 +281,24 @@ class SSODTrainer(Trainer):
             t_strong, t_weak, t_ms = self._shard(
                 tbatch["images"], tbatch["images_ori"], tbatch["M_s"]
             )
+            if self.device_aug:
+                key = jax.random.fold_in(jax.random.PRNGKey(2), ni)
+                k1, k2 = jax.random.split(key)
+                s_imgs, s_labels, s_mask = self._device_aug_fn(
+                    k1, s_imgs, s_labels.astype(jnp.float32), s_mask
+                )
+                t_labels, t_mask = self._shard(
+                    tbatch["labels"], tbatch["mask"]
+                )
+                (t_strong, t_labels, t_mask, t_weak,
+                 t_ms) = self._ssod_aug_fn(
+                    k2, t_weak, t_labels.astype(jnp.float32), t_mask
+                )
+                if self.target_with_gt:
+                    # strong-view GT for the quality meters now comes from
+                    # the device pipeline
+                    tbatch = {**tbatch, "labels": np.asarray(t_labels),
+                              "mask": np.asarray(t_mask)}
             self.state, out = self.ssod_step(
                 self.state, s_imgs, s_labels, s_mask,
                 t_strong, t_weak, t_ms,

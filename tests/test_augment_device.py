@@ -176,3 +176,66 @@ def test_device_augment_no_mosaic_path():
     np.testing.assert_allclose(np.asarray(out_img[0]), images[0], atol=1.0)
     sel = np.asarray(out_lab[0])[np.asarray(out_mask[0])]
     np.testing.assert_allclose(sel[0], labels[0, 0], atol=1e-3)
+
+
+def test_device_ssod_views_contract():
+    """Weak/strong pair + M_s record: shapes, and the recorded transform
+    actually maps weak-view content to strong-view content (the property
+    the pseudo-label M-warp relies on)."""
+    from efficientteacher_tpu.ops.augment_device import device_ssod_views
+
+    rng = np.random.default_rng(8)
+    b, s, m = 4, 64, 4
+    images = rng.integers(0, 255, (b, s, s, 3), np.uint8)
+    labels = np.zeros((b, m, 5), np.float32)
+    mask = np.zeros((b, m), bool)
+    labels[:, 0] = [0, 0.5, 0.5, 0.3, 0.3]
+    mask[:, 0] = True
+    hyp = {"mosaic": 1.0, "degrees": 3.0, "translate": 0.1, "scale": 0.3,
+           "shear": 0.0, "perspective": 0.0, "hsv_h": 0.015, "hsv_s": 0.7,
+           "hsv_v": 0.4, "fliplr": 0.5, "flipud": 0.0}
+    fn = jax.jit(lambda k, i, l, ms: device_ssod_views(k, i, l, ms, hyp,
+                                                       max_out=16))
+    strong, out_lab, out_mask, weak, m_s = fn(
+        jax.random.PRNGKey(3), jnp.asarray(images),
+        jnp.asarray(labels), jnp.asarray(mask),
+    )
+    assert strong.shape == (b, s, s, 3) and strong.dtype == jnp.uint8
+    assert weak.shape == (b, s, s, 3) and weak.dtype == jnp.uint8
+    assert out_lab.shape == (b, 16, 5) and out_mask.shape == (b, 16)
+    m_s = np.asarray(m_s)
+    assert m_s.shape == (b, 13)
+    np.testing.assert_array_equal(m_s[:, 0], np.arange(b))  # batch idx
+    # M is a valid invertible 3x3; scale factor recorded in [0.7, 1.3]
+    for bi in range(b):
+        M = m_s[bi, 1:10].reshape(3, 3)
+        assert abs(np.linalg.det(M)) > 1e-3
+        assert 0.65 <= m_s[bi, 10] <= 1.35
+        assert m_s[bi, 11] in (0.0, 1.0) and m_s[bi, 12] in (0.0, 1.0)
+
+
+def test_device_ssod_views_identity_transform():
+    """With identity hyp and no mosaic: strong == weak == input, labels
+    pass through, M_s records the identity."""
+    from efficientteacher_tpu.ops.augment_device import device_ssod_views
+
+    rng = np.random.default_rng(9)
+    b, s, m = 2, 48, 4
+    images = rng.integers(0, 255, (b, s, s, 3), np.uint8)
+    labels = np.zeros((b, m, 5), np.float32)
+    mask = np.zeros((b, m), bool)
+    labels[:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    mask[:, 0] = True
+    hyp = {"mosaic": 0.0, "degrees": 0.0, "translate": 0.0, "scale": 0.0,
+           "shear": 0.0, "perspective": 0.0, "hsv_h": 0, "hsv_s": 0,
+           "hsv_v": 0, "fliplr": 0.0, "flipud": 0.0}
+    strong, out_lab, out_mask, weak, m_s = device_ssod_views(
+        jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(labels),
+        jnp.asarray(mask), hyp,
+    )
+    np.testing.assert_allclose(np.asarray(weak[0]), images[0], atol=1.0)
+    np.testing.assert_allclose(np.asarray(strong[0]), images[0], atol=1.0)
+    M = np.asarray(m_s)[0, 1:10].reshape(3, 3)
+    np.testing.assert_allclose(M, np.eye(3), atol=1e-5)
+    sel = np.asarray(out_lab[0])[np.asarray(out_mask[0])]
+    np.testing.assert_allclose(sel[0], labels[0, 0], atol=1e-3)

@@ -194,3 +194,46 @@ def test_ssod_burn_in_with_da_loss(ssod_data, tmp_path):
     # DA losses appeared in the meters
     assert "d_loss" in t.meter.meters and "t_loss" in t.meter.meters
     assert np.isfinite(t.meter.meters["d_loss"].avg)
+
+
+def test_ssod_trainer_device_aug(ssod_data, tmp_path):
+    """cfg.Dataset.device_aug: labeled aug AND the unlabeled weak/strong
+    dual view + M_s record are produced on-device
+    (ops/augment_device.device_ssod_views)."""
+    import jax.numpy as jnp
+
+    cfg = get_cfg()
+    cfg.Model.Backbone.name = "YoloV5"
+    cfg.Model.Neck.name = "YoloV5"
+    cfg.Model.Head.name = "YoloV5"
+    cfg.Model.Neck.in_channels = [256, 512, 1024]
+    cfg.Model.Neck.out_channels = [256, 512, 1024]
+    cfg.Model.width_multiple = 0.125
+    cfg.Model.depth_multiple = 0.34
+    cfg.Loss.type = "ComputeLoss"
+    cfg.SSOD.train_domain = True
+    cfg.SSOD.nms_conf_thres = 0.1
+    cfg.SSOD.max_pseudo_labels = 16
+    cfg.SSOD.fixed_accumulate = True
+    cfg.SSOD.ssod_hyp.with_gt = True  # exercise the device GT passthrough
+    cfg.hyp.burn_epochs = 1
+    cfg.Dataset.train = str(ssod_data / "train.txt")
+    cfg.Dataset.val = ""
+    cfg.Dataset.target = str(ssod_data / "target.txt")
+    cfg.Dataset.nc = 1
+    cfg.Dataset.img_size = 128
+    cfg.Dataset.batch_size = 4
+    cfg.Dataset.max_targets = 16
+    cfg.Dataset.device_aug = True
+    cfg.epochs = 2
+    cfg.hyp.warmup_epochs = 0
+    cfg.noval = True
+    cfg.nosave = True
+    cfg.project = str(tmp_path / "runs")
+    cfg.name = "ssod_devaug"
+    cfg.freeze()
+
+    trainer = SSODTrainer(cfg, compute_dtype=jnp.float32)
+    assert trainer.device_aug
+    trainer.train()
+    assert int(trainer.state.step) >= 2
