@@ -89,6 +89,18 @@ def per_process_batch(global_batch: int) -> int:
     return global_batch // pc
 
 
+def to_host(x) -> np.ndarray:
+    """Device output -> full host numpy array. Single-process: plain copy.
+    Multi-host: every process gathers the full batch-sharded array (the
+    reference's LabelMatch all_gather of per-rank score lists,
+    utils/labelmatch.py:100-117 / SURVEY §5.8)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def make_global_batch(mesh, tree: Any, axis: str = "dp") -> Any:
     """Local per-host batch shards -> global dp-sharded jax.Arrays."""
     s = NamedSharding(mesh, P(axis))

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.datasets_ssod import create_target_dataloader
+from ..parallel.distributed import to_host
 from ..eval import validator
 from ..eval.metrics import fitness
 from ..losses.ssod_loss import SSODLossConfig
@@ -297,15 +298,15 @@ class SSODTrainer(Trainer):
                 if self.target_with_gt:
                     # strong-view GT for the quality meters now comes from
                     # the device pipeline
-                    tbatch = {**tbatch, "labels": np.asarray(t_labels),
-                              "mask": np.asarray(t_mask)}
+                    tbatch = {**tbatch, "labels": to_host(t_labels),
+                              "mask": to_host(t_mask)}
             self.state, out = self.ssod_step(
                 self.state, s_imgs, s_labels, s_mask,
                 t_strong, t_weak, t_ms,
                 thr_high, thr_low, sched, semi_decay,
             )
-            pl_np = np.asarray(out.pseudo_labels)
-            mask_np = np.asarray(out.pseudo_mask)
+            pl_np = to_host(out.pseudo_labels)
+            mask_np = to_host(out.pseudo_mask)
             if (self.cfg.SSOD.debug and i < 2 and self.is_main
                     and self.target_with_gt):
                 # pseudo-vs-GT debug mosaics on the strong view (reference
@@ -325,10 +326,10 @@ class SSODTrainer(Trainer):
             # LabelMatch sees every pre-warp NMS detection's (conf, cls) —
             # not just M-warp survivors — matching the reference's
             # score_list_epoch harvest (utils/labelmatch.py:283-299)
-            nms_valid = np.asarray(out.nms_valid)
+            nms_valid = to_host(out.nms_valid)
             self.label_match.collect(
-                np.where(nms_valid, np.asarray(out.nms_conf), 0.0),
-                np.asarray(out.nms_cls),
+                np.where(nms_valid, to_host(out.nms_conf), 0.0),
+                to_host(out.nms_cls),
             )
             if i % 50 == 0:
                 metrics = {k: float(v) for k, v in out.metrics.items()

@@ -239,3 +239,71 @@ def test_device_ssod_views_identity_transform():
     np.testing.assert_allclose(M, np.eye(3), atol=1e-5)
     sel = np.asarray(out_lab[0])[np.asarray(out_mask[0])]
     np.testing.assert_allclose(sel[0], labels[0, 0], atol=1e-3)
+
+
+def test_scale_translate_warp_matches_gather_warp():
+    """The MXU fast path reproduces the gather warp on axis-aligned
+    affines (interior pixels; the two differ only in border handling)."""
+    from efficientteacher_tpu.ops.augment_device import (
+        warp_scale_translate_device,
+    )
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 255, (96, 96, 3), np.uint8)
+    for s_, tx, ty in [(1.0, 5.0, -3.0), (0.8, 10.0, 4.0),
+                       (1.25, -7.0, 2.5)]:
+        M = jnp.asarray(np.array(
+            [[s_, 0, tx], [0, s_, ty], [0, 0, 1]], np.float32))
+        want = np.asarray(warp_image_device(jnp.asarray(img), M, 48, 48))
+        got = np.asarray(warp_scale_translate_device(jnp.asarray(img), M,
+                                                     48, 48))
+        # the two differ only where the bilinear footprint crosses the
+        # source border (gather blends with fill, resample renormalizes
+        # edge weights) — a band of ceil(s)+1 output pixels
+        mg = int(np.ceil(s_)) + 8
+        diff = np.abs(got[mg:-mg, mg:-mg] - want[mg:-mg, mg:-mg])
+        assert diff.max() <= 1.5, (s_, tx, ty, diff.max())
+        assert np.abs(got - want).mean() <= 1.0  # border band is small
+
+
+def test_mosaic_warp_fused_matches_canvas_path():
+    """The fused per-tile warp compositing equals mosaic4 canvas + st-warp
+    (away from the 1px tile seams)."""
+    from efficientteacher_tpu.ops.augment_device import (
+        mosaic4_device,
+        mosaic_warp_fused_device,
+        warp_scale_translate_device,
+    )
+
+    rng = np.random.default_rng(11)
+    s = 64
+    imgs = jnp.asarray(rng.integers(0, 255, (4, s, s, 3), np.uint8))
+    labels = jnp.zeros((4, 2, 5), jnp.float32)
+    mask = jnp.zeros((4, 2), bool)
+    km = jax.random.PRNGKey(4)
+    canvas, _, _ = mosaic4_device(km, imgs, labels, mask, s)
+
+    kx, ky = jax.random.split(km)
+    xc = jax.random.uniform(kx, (), minval=0.5 * s, maxval=1.5 * s)
+    yc = jax.random.uniform(ky, (), minval=0.5 * s, maxval=1.5 * s)
+    # integer center: mosaic4_device places tiles at round(xc/yc) while the
+    # fused path uses them exactly — use the rounded values for both
+    xci = jnp.round(xc)
+    yci = jnp.round(yc)
+    corners = jnp.stack([
+        jnp.stack([yci - s, xci - s]), jnp.stack([yci - s, xci]),
+        jnp.stack([yci, xci - s]), jnp.stack([yci, xci]),
+    ])
+    tile_on = jnp.ones((4,), bool)
+
+    for s_, tx, ty in [(1.0, -20.0, -28.0), (0.8, 5.0, -10.0)]:
+        M = jnp.asarray(np.array(
+            [[s_, 0, tx], [0, s_, ty], [0, 0, 1]], np.float32))
+        want = np.asarray(warp_scale_translate_device(canvas, M, s, s))
+        got = np.asarray(mosaic_warp_fused_device(imgs, corners, tile_on,
+                                                  M, s))
+        diff = np.abs(got - want).max(-1)
+        # identical except a few-px band at tile seams / canvas border
+        frac_bad = (diff > 2.0).mean()
+        assert frac_bad < 0.08, (s_, tx, ty, frac_bad)
+        assert np.median(np.abs(got - want)) <= 1.0
