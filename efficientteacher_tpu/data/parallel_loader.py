@@ -86,7 +86,15 @@ def iter_batches_processes(
             task = task_q.get()
             if task is None:
                 break
-            batch = build_batch(task)
+            try:
+                batch = build_batch(task)
+            except BaseException:
+                import traceback
+
+                # surface the failure instead of hanging the parent on
+                # done_q.get()
+                done_q.put(("error", traceback.format_exc()))
+                break
             sid = free_q.get()
             for k in arrays:
                 slots[sid][k][...] = batch[k]
@@ -112,6 +120,8 @@ def iter_batches_processes(
                         f"({remaining} batches missing)"
                     )
                 continue
+            if msg[0] == "error":
+                raise RuntimeError(f"loader worker failed:\n{msg[1]}")
             sid, meta = msg
             out = dict(slots[sid])
             out.update(meta)

@@ -105,9 +105,15 @@ def run(
     infer = make_infer_fn(model, nc, conf_thres, iou_thres, max_det,
                           max_nms, norm_scale, compute_dtype)
     compiled_bs = None
+    import time as _time
+
+    t_infer = 0.0
+    t_host = 0.0
+    n_images = 0
     for batch in loader:
         images = batch["images"]
         bs = images.shape[0]
+        n_images += bs
         if compiled_bs is None:
             compiled_bs = bs
         if bs < compiled_bs:  # pad ragged final batch to compiled batch dim
@@ -117,9 +123,12 @@ def run(
             )
         # rect loaders emit a bounded set of (h, w) shapes; the jitted infer
         # compiles once per distinct shape
+        t0 = _time.perf_counter()
         out = infer(variables, jnp.asarray(images))
         dets = np.asarray(out.detections)[:bs]
         valid = np.asarray(out.valid)[:bs]
+        t_infer += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         lh, lw = images.shape[1], images.shape[2]
 
         for bi in range(bs):
@@ -156,6 +165,19 @@ def run(
                 det[:, 5] if len(det) else np.zeros(0),
                 lxyxy[:, 0],
             ))
+        t_host += _time.perf_counter() - t0
+
+    if n_images:
+        # speed split (reference val.py:416-420 prints pre/inference/NMS;
+        # here forward+decode+NMS is ONE jitted program)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "Speed: %.1f ms inference+NMS (fused), %.1f ms host metrics "
+            "per image at shape (%d, %d, %d)",
+            t_infer / n_images * 1e3, t_host / n_images * 1e3,
+            compiled_bs or 0, img_size or 0, img_size or 0,
+        )
 
     if save_json is not None:
         import json

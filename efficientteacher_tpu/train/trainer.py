@@ -112,6 +112,14 @@ class Trainer:
                        self.compute_dtype)
         variables = self.model.init(jax.random.PRNGKey(0), x0, train=False)
         params, batch_stats = variables["params"], variables["batch_stats"]
+        try:  # reference model_info line (utils/torch_utils.py:222-244)
+            from ..utils.profile import count_params
+
+            LOGGER.info("Model summary: %s/%s/%s head, %.2fM parameters",
+                        self.spec.backbone, self.spec.neck, self.spec.head,
+                        count_params(params) / 1e6)
+        except Exception:
+            pass
         if cfg.weights:
             params, batch_stats = self._warm_start(
                 cfg.weights, params, batch_stats

@@ -107,3 +107,21 @@ def test_process_loader_slot_recycling():
             assert int(batch["images"][k, 0, 0, 0]) == i
         seen.extend(batch["indices"])
     assert sorted(seen) == list(range(64))
+
+
+def test_process_loader_surfaces_worker_errors():
+    """A crashing build_batch must raise in the parent, not hang."""
+    if not _FORK_OK:
+        pytest.skip("no fork")
+
+    def bad_build(bidx):
+        if bidx[0] >= 4:
+            raise ValueError("boom")
+        return {"images": np.zeros((2, 4, 4, 3), np.uint8),
+                "indices": bidx}
+
+    batches = [[i, i + 1] for i in range(0, 10, 2)]
+    with pytest.raises(RuntimeError, match="boom|exited early"):
+        for _ in iter_batches_processes(bad_build, batches, workers=2,
+                                        reseed=lambda w: None):
+            pass
