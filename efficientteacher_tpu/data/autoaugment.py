@@ -28,7 +28,6 @@ Images are uint8 BGR HWC; boxes are (N, 5) [cls, x1, y1, x2, y2] pixels.
 
 from __future__ import annotations
 
-import math
 import random
 from typing import List, Optional, Tuple
 
@@ -100,7 +99,10 @@ def op_posterize(img, level, *_):
 
 
 def op_solarize(img, level, *_):
-    thr = int(256 - level / _MAX_LEVEL * 256)
+    # reference level_to_arg: threshold = level/10*256 and solarize inverts
+    # pixels >= threshold (autoaugment_utils.py:1448, :321) — HIGHER level
+    # means a MILDER effect
+    thr = int(level / _MAX_LEVEL * 256)
     return np.where(img < thr, img, 255 - img).astype(np.uint8)
 
 
@@ -206,15 +208,6 @@ def _for_each_box(img, boxes, fn, rng, prob):
             continue
         img[y1:y2, x1:x2] = fn(img[y1:y2, x1:x2])
     return img
-
-
-def _patch_affine(m_fn):
-    def apply(patch, rng):
-        h, w = patch.shape[:2]
-        return cv2.warpAffine(patch, m_fn(w, h, rng), (w, h),
-                              borderValue=_FILL)
-
-    return apply
 
 
 def op_translate_x_only_bboxes(img, level, boxes, rng, prob):

@@ -506,7 +506,7 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True, prefetch: int = 4,
                  workers: int = 2, sampler_type: str = "normal",
-                 mode: str = "auto"):
+                 mode: str = "auto", shard_across_processes: bool = True):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -520,6 +520,9 @@ class BatchLoader:
         # ring; 'thread' keeps GIL-bound producers; 'auto' picks process
         # when it can pay off (multi-core host, fork available)
         self.mode = mode
+        # train loaders take a per-process shard; VALIDATION must score the
+        # full set on every host (the reference validates full-val on rank 0)
+        self.shard_across_processes = shard_across_processes
 
     def __len__(self):
         n = len(self.ds)
@@ -535,6 +538,8 @@ class BatchLoader:
             idx = list(range(len(self.ds)))
             if self.shuffle:
                 rng.shuffle(idx)
+        if not self.shard_across_processes:
+            return idx
         # multi-host: every process computes the identical global order
         # (same seed/epoch) and takes a disjoint strided share; the global
         # batch is the concatenation of the per-host batches
@@ -631,13 +636,15 @@ def create_dataloader(cfg, split: str = "train", augment: Optional[bool] = None,
 
     return BatchLoader(
         ds,
-        per_process_batch(batch_size or cfg.Dataset.batch_size),
+        (per_process_batch(batch_size or cfg.Dataset.batch_size)
+         if augment else (batch_size or cfg.Dataset.batch_size)),
         shuffle=augment,
         seed=seed,
         drop_last=augment,
         sampler_type=cfg.Dataset.sampler_type if augment else "normal",
         workers=int(cfg.Dataset.workers),
         mode=str(cfg.Dataset.loader) if augment else "thread",
+        shard_across_processes=augment,
     )
 
 

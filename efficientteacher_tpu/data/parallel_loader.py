@@ -6,9 +6,9 @@ GIL makes Python threads insufficient for cv2 mosaic at TPU train rates
 (VERDICT r1: 4 decodes/sample at 640px, doubled for the SSOD dual view), so
 train loaders fork `workers` processes that each build whole batches and
 write the stacked arrays into pre-allocated shared-memory slots; the parent
-never copies an image byte — it yields numpy views into the slot and
-recycles the slot on the next iteration (by which point the consumer has
-uploaded the batch to device).
+copies each finished slot once (a ~5 ms b32@640 memcpy — consumers may
+cache batches and JAX h2d copies are async, so yielded arrays must own
+their memory) and recycles the slot immediately.
 
 Design notes:
   - fork start method: the dataset (file lists, label arrays, RAM cache) is
@@ -123,12 +123,16 @@ def iter_batches_processes(
             if msg[0] == "error":
                 raise RuntimeError(f"loader worker failed:\n{msg[1]}")
             sid, meta = msg
-            out = dict(slots[sid])
+            # COPY out of the slot: yielded arrays must own their memory —
+            # consumers cache batches (itertools.cycle in the SSOD trainer)
+            # and JAX's host->device copy is async (PJRT may still be
+            # reading the buffer when the next batch wants the slot). A
+            # b32@640 memcpy is ~5 ms; slot recycling stays prompt.
+            out = {k: v.copy() for k, v in slots[sid].items()}
             out.update(meta)
-            yield out
-            # consumer resumed -> previous batch uploaded; recycle the slot
             free_q.put(sid)
             remaining -= 1
+            yield out
     finally:
         for p in procs:
             if p.is_alive():

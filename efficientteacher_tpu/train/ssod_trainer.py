@@ -279,17 +279,17 @@ class SSODTrainer(Trainer):
             s_imgs, s_labels, s_mask = self._shard(
                 sbatch["images"], sbatch["labels"], sbatch["mask"]
             )
-            t_strong, t_weak, t_ms = self._shard(
-                tbatch["images"], tbatch["images_ori"], tbatch["M_s"]
-            )
             if self.device_aug:
+                # only the raw weak view crosses host->device; the strong
+                # view + M_s are generated on-chip (the host copies of
+                # tbatch['images']/['M_s'] are identity duplicates here)
+                t_weak, t_labels, t_mask = self._shard(
+                    tbatch["images_ori"], tbatch["labels"], tbatch["mask"]
+                )
                 key = jax.random.fold_in(jax.random.PRNGKey(2), ni)
                 k1, k2 = jax.random.split(key)
                 s_imgs, s_labels, s_mask = self._device_aug_fn(
                     k1, s_imgs, s_labels.astype(jnp.float32), s_mask
-                )
-                t_labels, t_mask = self._shard(
-                    tbatch["labels"], tbatch["mask"]
                 )
                 (t_strong, t_labels, t_mask, t_weak,
                  t_ms) = self._ssod_aug_fn(
@@ -297,9 +297,15 @@ class SSODTrainer(Trainer):
                 )
                 if self.target_with_gt:
                     # strong-view GT for the quality meters now comes from
-                    # the device pipeline
+                    # the device pipeline; the debug mosaics must draw on
+                    # the device-generated strong view too
                     tbatch = {**tbatch, "labels": to_host(t_labels),
-                              "mask": to_host(t_mask)}
+                              "mask": to_host(t_mask),
+                              "images": to_host(t_strong)}
+            else:
+                t_strong, t_weak, t_ms = self._shard(
+                    tbatch["images"], tbatch["images_ori"], tbatch["M_s"]
+                )
             self.state, out = self.ssod_step(
                 self.state, s_imgs, s_labels, s_mask,
                 t_strong, t_weak, t_ms,

@@ -138,3 +138,19 @@ def test_copy_paste():
         row = out_labels[-1]
         assert row[1] == 100 - labels[0][3]
         assert out_img[25, int(row[1]) + 5].max() >= 190
+
+
+def test_solarize_threshold_mapping():
+    """Reference level_to_arg: threshold = level/10*256; solarize inverts
+    pixels >= threshold — HIGHER level is MILDER
+    (autoaugment_utils.py:1448, :321)."""
+    from efficientteacher_tpu.data.autoaugment import op_solarize
+
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16, 1).repeat(3, 2)
+    out8 = op_solarize(img.copy(), 8.0)  # thr 204: only bright px invert
+    changed = (out8 != img).any(-1)
+    frac = changed.mean()
+    assert 0.15 < frac < 0.25, frac  # ~52/256 pixels
+    assert (out8[img[..., 0] < 204] == img[img[..., 0] < 204]).all()
+    out10 = op_solarize(img.copy(), 10.0)  # thr 256: no-op
+    np.testing.assert_array_equal(out10, img)
