@@ -276,6 +276,20 @@ class Trainer:
         trainer.py:320-327 despite shipping configs that use them —
         SURVEY.md §2.11), all three loss families are wired here."""
         loss_type = cfg.Loss.type
+        # fail early on a head/loss family mismatch — the default
+        # Loss.type is ComputeXLoss (reference defaults.py:135) which only
+        # fits anchor-free heads; pairing it with an anchor head otherwise
+        # surfaces as an opaque shape error deep inside the loss
+        from ..models.heads import head_model_type
+
+        mt = head_model_type(self.spec.head)
+        if loss_type in ("ComputeXLoss", "ComputeFastXLoss",
+                         "ComputeTalLoss") and mt == "yolov5":
+            raise ValueError(
+                f"Loss.type {loss_type!r} is anchor-free but head "
+                f"{self.spec.head!r} is anchor-based — set Loss.type: "
+                "'ComputeLoss' (every shipped anchor-head YAML does)"
+            )
         self.loss_cfg = YoloV5LossConfig.from_cfg(cfg, nl=self.spec.nl)
         if loss_type == "ComputeLoss":
             anchors = self.anchors_grid
