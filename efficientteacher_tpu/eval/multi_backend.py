@@ -11,6 +11,10 @@ and `warmup()` pre-compiles. Formats:
   .pt           reference torch checkpoint, imported on the fly
   saved_model/  TF SavedModel (from export.py)
   .tflite       TFLite flatbuffer (TF interpreter)
+  .torchscript  reference-exported TorchScript module (torch CPU)
+  .onnx         reference-exported ONNX graph via cv2.dnn (no onnx pkg
+                needed); TensorRT/CoreML/OpenVINO engines need their own
+                runtimes and stay out of scope on TPU hosts
 """
 
 from __future__ import annotations
@@ -37,6 +41,8 @@ class DetectBackend:
         self._tf_fn = None
         self._tflite = None
         self._jit = None
+        self._ts = None
+        self._dnn = None
 
         if self.kind in ("ckpt", "deploy", "pt"):
             spec = self.spec
@@ -74,6 +80,15 @@ class DetectBackend:
 
             self._tflite = tf.lite.Interpreter(model_path=self.weights)
             self._tflite.allocate_tensors()
+        elif self.kind == "torchscript":
+            import torch
+
+            self._ts = torch.jit.load(self.weights, map_location="cpu")
+            self._ts.eval()
+        elif self.kind == "onnx":
+            import cv2
+
+            self._dnn = cv2.dnn.readNetFromONNX(self.weights)
         else:
             raise NotImplementedError(f"format {self.kind!r}")
 
@@ -91,6 +106,10 @@ class DetectBackend:
             return "pt"
         if name.endswith(".tflite"):
             return "tflite"
+        if name.endswith(".torchscript"):
+            return "torchscript"
+        if name.endswith(".onnx"):
+            return "onnx"
         return "unknown"
 
     def __call__(self, images: np.ndarray) -> np.ndarray:
@@ -109,6 +128,23 @@ class DetectBackend:
             self._tflite.set_tensor(inp["index"], x)
             self._tflite.invoke()
             return self._tflite.get_tensor(out["index"])
+        if getattr(self, "_ts", None) is not None:
+            import torch
+
+            x = torch.from_numpy(
+                images.transpose(0, 3, 1, 2).astype(np.float32)
+                / self.norm_scale
+            )
+            with torch.no_grad():
+                y = self._ts(x)
+            if isinstance(y, (list, tuple)):
+                y = y[0]
+            return y.numpy()
+        if getattr(self, "_dnn", None) is not None:
+            x = (images.transpose(0, 3, 1, 2).astype(np.float32)
+                 / self.norm_scale)
+            self._dnn.setInput(x)
+            return np.asarray(self._dnn.forward())
         raise RuntimeError("no backend initialized")
 
     def warmup(self, shape=(1, 640, 640, 3)):

@@ -86,3 +86,30 @@ def test_autoshape(ckpt_path, tmp_path):
     dets.save(tmp_path / "out")
     assert (tmp_path / "out" / "image0.jpg").exists()
     dets.print()
+
+
+def test_backend_torchscript(tmp_path):
+    """.torchscript files (reference export_torchscript output) run through
+    torch CPU with the NCHW contract."""
+    torch = pytest.importorskip("torch")
+
+    class Tiny(torch.nn.Module):
+        def forward(self, x):
+            b = x.shape[0]
+            flat = x.mean(dim=(1, 2, 3)).reshape(b, 1, 1)
+            return (flat * torch.ones(b, 84, 9)), None
+
+    m = torch.jit.script(Tiny())
+    p = tmp_path / "tiny.torchscript"
+    m.save(str(p))
+
+    from efficientteacher_tpu.configs import get_cfg
+    from efficientteacher_tpu.eval.multi_backend import DetectBackend
+
+    cfg = get_cfg()
+    cfg.Dataset.nc = 4
+    be = DetectBackend(str(p), cfg)
+    assert be.kind == "torchscript"
+    out = be(np.full((2, 8, 8, 3), 255, np.uint8))
+    assert out.shape == (2, 84, 9)
+    np.testing.assert_allclose(out, 1.0, atol=1e-5)  # mean(255/255) == 1
