@@ -29,6 +29,8 @@ def parse_opt():
     parser.add_argument("--save-xml", action="store_true",
                         help="save PASCAL-VOC style XML annotations")
     parser.add_argument("--nosave", action="store_true")
+    parser.add_argument("--visualize", action="store_true",
+                        help="dump pyramid feature-map grids per image")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     return parser.parse_args()
 
@@ -81,6 +83,21 @@ def main(opt):
 
     for img_path, rgb, img0, _ in LoadImages(opt.source, opt.img_size):
         x = jnp.asarray(rgb)[None]
+        if opt.visualize:
+            # pyramid feature-map grids (reference detect.py --visualize /
+            # utils/plots.py feature_visualization)
+            from efficientteacher_tpu.utils.plots import (
+                feature_visualization,
+            )
+
+            bound = model.bind(variables)
+            xin = x.astype(jnp.bfloat16) / 255.0
+            feats = bound.neck(bound.backbone(xin, False), False)
+            stem = Path(img_path.split("#")[0]).stem
+            feature_visualization(
+                [np.asarray(f, np.float32) for f in feats],
+                save_dir / f"{stem}_features.png",
+            )
         out = infer(variables, x)
         det = np.asarray(out.detections)[0][np.asarray(out.valid)[0]]
         if len(det):

@@ -244,3 +244,32 @@ def plot_results(results_csv: Path, save_path: Optional[Path] = None):
     out = save_path or Path(results_csv).with_name("results.png")
     fig.savefig(out, dpi=150)
     plt.close(fig)
+
+
+def feature_visualization(feats, path: Path, max_maps: int = 32):
+    """Per-stage feature-map grids (reference utils/plots.py
+    feature_visualization / yolo.py --visualize): each pyramid level's
+    first `max_maps` channels as grayscale tiles.
+
+    feats: list of (B, H, W, C) arrays (NHWC; the backbone/neck outputs).
+    Writes one <path>_pN.png per level using the first batch element."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    for li, f in enumerate(feats):
+        f = np.asarray(f, np.float32)
+        if f.ndim != 4 or f.shape[0] == 0:
+            continue
+        maps = f[0].transpose(2, 0, 1)[:max_maps]  # (C, H, W)
+        n = len(maps)
+        cols = int(np.ceil(np.sqrt(n)))
+        rows = int(np.ceil(n / cols))
+        fig, axes = plt.subplots(rows, cols,
+                                 figsize=(1.4 * cols, 1.4 * rows),
+                                 squeeze=False, tight_layout=True)
+        for i in range(rows * cols):
+            ax = axes[i // cols][i % cols]
+            ax.axis("off")
+            if i < n:
+                ax.imshow(maps[i], cmap="gray")
+        fig.savefig(path.with_name(f"{path.stem}_p{li + 3}.png"), dpi=120)
+        plt.close(fig)

@@ -130,3 +130,14 @@ def test_pseudo_vs_gt_plot(tmp_path):
     gtm[0, 0] = True
     plot_pseudo_vs_gt(imgs, pl, plm, gt, gtm, tmp_path / "pg.png")
     assert (tmp_path / "pg.png").exists()
+
+
+def test_feature_visualization(tmp_path):
+    from efficientteacher_tpu.utils.plots import feature_visualization
+
+    feats = [np.random.default_rng(0).random((1, 8 // (2 ** i),
+                                              8 // (2 ** i), 16))
+             for i in range(2)]
+    feature_visualization(feats, tmp_path / "fv.png", max_maps=8)
+    assert (tmp_path / "fv_p3.png").exists()
+    assert (tmp_path / "fv_p4.png").exists()
