@@ -16,7 +16,9 @@ Parity with reference utils/datasets.py:
 TPU-first deltas: batches are fixed-shape — images all letterboxed to a
 square img_size and labels padded to max_targets with a validity mask
 (replacing the variable-length cat collate, datasets.py:1163-1168); the
-loader is a thread-prefetched iterator rather than torch DataLoader workers.
+loader runs forked worker processes over a shared-memory slot ring (or a
+thread pool on 1-core hosts) instead of torch DataLoader workers — see
+data/parallel_loader.py.
 """
 
 from __future__ import annotations
@@ -25,9 +27,7 @@ import glob
 import hashlib
 import math
 import os
-import queue
 import random
-import threading
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Tuple
 
