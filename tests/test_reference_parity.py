@@ -407,3 +407,257 @@ def test_ota_loss_parity():
             float(got[k]), float(want[k]), rtol=1e-3, atol=1e-6,
             err_msg=f"ota component {k}",
         )
+
+
+def test_ssod_ota_loss_parity():
+    """compute_ssod_ota_loss vs the real ComputeStudentMatchLoss.ota_loss
+    (reference ssod_loss.py:296-345 with use_ota=True; the assigner is
+    built WITHOUT top_k, i.e. ctor default 1).
+
+    NOTE: the reference branch is BROKEN UPSTREAM — ssod_loss.py:302-303
+    passes with_pseudo_scores= (plural) to YOLOAnchorAssigner.forward which
+    only accepts with_pseudo_score (yolo_anchor_assigner.py:34-37), so
+    SSOD.use_ota crashes with a TypeError in the reference. The oracle here
+    is the reference with ONLY that keyword repaired (an adapter around its
+    own assigner) — the same treatment SURVEY §2.11 gives other
+    dead-on-arrival reference paths."""
+    from efficientteacher_tpu.losses.ssod_loss import (
+        SSODLossConfig, compute_ssod_ota_loss,
+    )
+
+    yaml_rel = "sup/public/yolov5s_coco.yaml"
+    ref_model, ref_cfg = build_ref_model(yaml_rel)
+    ref_cfg.defrost()
+    ref_cfg.SSOD.use_ota = True
+    ref_cfg.SSOD.uncertain_aug = True
+    ref_cfg.SSOD.pseudo_label_with_obj = True
+    ref_cfg.SSOD.ignore_obj = False
+    ref_cfg.SSOD.focal_loss = 0
+    ref_cfg.SSOD.ignore_thres_high = 0.6
+    ref_cfg.SSOD.ignore_thres_low = 0.3
+    ref_cfg.freeze()
+    import importlib
+
+    ssod_mod = importlib.import_module("models.loss.ssod.ssod_loss")
+    ref_loss = ssod_mod.ComputeStudentMatchLoss(ref_model, ref_cfg)
+    orig_assigner = ref_loss.assigner
+
+    def adapter(p, targets, **kw):
+        if "with_pseudo_scores" in kw:
+            kw["with_pseudo_score"] = kw.pop("with_pseudo_scores")
+        return orig_assigner(p, targets, **kw)
+
+    ref_loss.assigner = adapter
+
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(REF_ROOT, "configs", yaml_rel))
+    cfg.SSOD.uncertain_aug = True
+    cfg.SSOD.pseudo_label_with_obj = True
+    cfg.SSOD.ignore_obj = False
+    cfg.SSOD.focal_loss = 0
+    spec = spec_from_cfg(cfg)
+    lc = SSODLossConfig.from_cfg(cfg, nl=spec.nl)
+    s = np.asarray(spec.strides, np.float32)[:, None, None]
+    anchors_grid = (
+        np.asarray(spec.anchors, np.float32).reshape(spec.nl, -1, 2) / s
+    )
+
+    # img must be 640: the reference OTA cost scales GT by a hardcoded 640
+    B, img, nc, na = 2, 640, cfg.Dataset.nc, 3
+    no = nc + 5
+    rng = np.random.default_rng(21)
+    preds_t, preds_j = [], []
+    for st in spec.strides:
+        g = img // int(st)
+        raw = rng.standard_normal((B, na, g, g, no)).astype(np.float32) * 0.5
+        preds_t.append(torch.from_numpy(raw))
+        preds_j.append(jnp.asarray(raw.transpose(0, 2, 3, 1, 4)))
+
+    rows = np.array(
+        [
+            [0, 3, 0.25, 0.25, 0.20, 0.30, 0.90, 0.95, 0.40],   # reliable
+            [0, 17, 0.75, 0.60, 0.35, 0.30, 0.45, 0.995, 0.50],  # uncertain
+            [1, 0, 0.50, 0.30, 0.12, 0.12, 0.42, 0.50, 0.997],   # uncertain
+            [1, 42, 0.20, 0.80, 0.50, 0.25, 0.80, 0.9, 0.9],     # reliable
+            [1, 9, 0.85, 0.15, 0.08, 0.20, 0.10, 0.20, 0.20],    # dropped
+        ],
+        np.float32,
+    )
+    want_total, want = ref_loss(preds_t, torch.from_numpy(rows))
+
+    M = 8
+    labels = np.zeros((B, M, 8), np.float32)
+    mask = np.zeros((B, M), bool)
+    for bi in range(B):
+        sel = rows[rows[:, 0] == bi][:, 1:]
+        labels[bi, : len(sel)] = sel
+        mask[bi, : len(sel)] = True
+    thr_high = jnp.full((nc,), 0.6)
+    thr_low = jnp.full((nc,), 0.3)
+    got_total, got = compute_ssod_ota_loss(
+        preds_j, jnp.asarray(labels), jnp.asarray(mask), thr_high, thr_low,
+        anchors_grid, spec.strides, img, lc, top_k=1,
+    )
+    for k in ("ss_box", "ss_obj", "ss_cls"):
+        np.testing.assert_allclose(
+            float(got[k]), float(want[k]), rtol=1e-3, atol=1e-6,
+            err_msg=f"ssod ota component {k}",
+        )
+    np.testing.assert_allclose(float(got_total), float(want_total),
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_loss_parity_focal_smoothing():
+    """ComputeLoss with focal loss + label smoothing enabled (reference
+    FocalLoss wrapper loss.py:60-91 + smooth_BCE)."""
+    yaml_rel = "sup/public/yolov5s_coco.yaml"
+    ref_model, ref_cfg = build_ref_model(yaml_rel)
+    ref_cfg.defrost()
+    ref_cfg.Loss.fl_gamma = 1.5
+    ref_cfg.Loss.label_smoothing = 0.1
+    ref_cfg.Loss.cls_pw = 0.8
+    ref_cfg.Loss.obj_pw = 1.2
+    ref_cfg.freeze()
+    ns = load_reference()
+    ref_loss = ns.ComputeLoss(ref_model, ref_cfg)
+
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(REF_ROOT, "configs", yaml_rel))
+    cfg.Loss.fl_gamma = 1.5
+    cfg.Loss.label_smoothing = 0.1
+    cfg.Loss.cls_pw = 0.8
+    cfg.Loss.obj_pw = 1.2
+    spec = spec_from_cfg(cfg)
+    lc = YoloV5LossConfig.from_cfg(cfg, nl=spec.nl)
+    s = np.asarray(spec.strides, np.float32)[:, None, None]
+    anchors_grid = (
+        np.asarray(spec.anchors, np.float32).reshape(spec.nl, -1, 2) / s
+    )
+
+    B, img, nc, na = 2, 64, cfg.Dataset.nc, 3
+    no = nc + 5
+    rng = np.random.default_rng(31)
+    preds_t, preds_j = [], []
+    for st in spec.strides:
+        g = img // int(st)
+        raw = rng.standard_normal((B, na, g, g, no)).astype(np.float32) * 0.7
+        preds_t.append(torch.from_numpy(raw))
+        preds_j.append(jnp.asarray(raw.transpose(0, 2, 3, 1, 4)))
+    targets = np.array(
+        [
+            [0, 5, 0.30, 0.35, 0.22, 0.28],
+            [1, 11, 0.70, 0.55, 0.30, 0.40],
+        ],
+        np.float32,
+    )
+    want_total, want = ref_loss(preds_t, torch.from_numpy(targets))
+    M = 4
+    labels = np.zeros((B, M, 5), np.float32)
+    mask = np.zeros((B, M), bool)
+    for bi in range(B):
+        rows = targets[targets[:, 0] == bi][:, 1:]
+        labels[bi, : len(rows)] = rows
+        mask[bi, : len(rows)] = True
+    got_total, got = compute_loss(
+        preds_j, jnp.asarray(labels), jnp.asarray(mask), anchors_grid, lc
+    )
+    for k in ("box", "obj", "cls"):
+        np.testing.assert_allclose(
+            float(got[k]), float(want[k]), rtol=3e-4, atol=1e-6,
+            err_msg=f"focal loss component {k}",
+        )
+
+
+def test_ssod_loss_parity_ignore_obj():
+    """compute_ssod_loss with ignore_obj=True (uncertain cells leave the
+    obj BCE) and pseudo_label_with_obj=False (uncertain score = conf)."""
+    from efficientteacher_tpu.losses.ssod_loss import (
+        SSODLossConfig, compute_ssod_loss,
+    )
+
+    yaml_rel = "sup/public/yolov5s_coco.yaml"
+    ref_model, ref_cfg = build_ref_model(yaml_rel)
+    ref_cfg.defrost()
+    ref_cfg.SSOD.uncertain_aug = True
+    ref_cfg.SSOD.pseudo_label_with_obj = False
+    ref_cfg.SSOD.pseudo_label_with_bbox = False
+    ref_cfg.SSOD.pseudo_label_with_cls = False
+    ref_cfg.SSOD.ignore_obj = True
+    ref_cfg.SSOD.focal_loss = 0
+    ref_cfg.SSOD.ignore_thres_high = 0.6
+    ref_cfg.SSOD.ignore_thres_low = 0.3
+    ref_cfg.freeze()
+    import importlib
+
+    ssod_mod = importlib.import_module("models.loss.ssod.ssod_loss")
+    ref_loss = ssod_mod.ComputeStudentMatchLoss(ref_model, ref_cfg)
+
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(REF_ROOT, "configs", yaml_rel))
+    cfg.SSOD.uncertain_aug = True
+    cfg.SSOD.pseudo_label_with_obj = False
+    cfg.SSOD.pseudo_label_with_bbox = False
+    cfg.SSOD.pseudo_label_with_cls = False
+    cfg.SSOD.ignore_obj = True
+    cfg.SSOD.focal_loss = 0
+    spec = spec_from_cfg(cfg)
+    lc = SSODLossConfig.from_cfg(cfg, nl=spec.nl)
+    s = np.asarray(spec.strides, np.float32)[:, None, None]
+    anchors_grid = (
+        np.asarray(spec.anchors, np.float32).reshape(spec.nl, -1, 2) / s
+    )
+
+    B, img, nc, na = 2, 64, cfg.Dataset.nc, 3
+    no = nc + 5
+    rng = np.random.default_rng(33)
+    preds_t, preds_j = [], []
+    for st in spec.strides:
+        g = img // int(st)
+        raw = rng.standard_normal((B, na, g, g, no)).astype(np.float32) * 0.6
+        preds_t.append(torch.from_numpy(raw))
+        preds_j.append(jnp.asarray(raw.transpose(0, 2, 3, 1, 4)))
+    rows = np.array(
+        [
+            [0, 3, 0.25, 0.25, 0.20, 0.30, 0.90, 0.95, 0.40],
+            [0, 17, 0.75, 0.60, 0.35, 0.30, 0.45, 0.995, 0.50],
+            [1, 0, 0.50, 0.30, 0.12, 0.12, 0.42, 0.50, 0.997],
+            [1, 9, 0.85, 0.15, 0.08, 0.20, 0.10, 0.20, 0.20],
+        ],
+        np.float32,
+    )
+    want_total, want = ref_loss(preds_t, torch.from_numpy(rows))
+    M = 8
+    labels = np.zeros((B, M, 8), np.float32)
+    mask = np.zeros((B, M), bool)
+    for bi in range(B):
+        sel = rows[rows[:, 0] == bi][:, 1:]
+        labels[bi, : len(sel)] = sel
+        mask[bi, : len(sel)] = True
+    got_total, got = compute_ssod_loss(
+        preds_j, jnp.asarray(labels), jnp.asarray(mask),
+        jnp.full((nc,), 0.6), jnp.full((nc,), 0.3), anchors_grid, lc,
+    )
+    for k in ("ss_box", "ss_obj", "ss_cls"):
+        np.testing.assert_allclose(
+            float(got[k]), float(want[k]), rtol=3e-4, atol=1e-6,
+            err_msg=f"ignore_obj component {k}",
+        )
+
+
+def test_nms_parity_agnostic():
+    """Class-agnostic NMS (reference general.py:994 agnostic=True)."""
+    ns = load_reference()
+    rng = np.random.default_rng(13)
+    pred = _random_decoded_preds(rng, B=1, N=250, nc=10)
+    want = ns.general.non_max_suppression(
+        torch.from_numpy(pred), conf_thres=0.25, iou_thres=0.5,
+        agnostic=True,
+    )
+    got = our_nms.non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.25, iou_thres=0.5, agnostic=True,
+    )
+    dets = np.asarray(got.detections)[0][np.asarray(got.valid)[0]]
+    w = want[0].numpy()
+    assert len(dets) == len(w)
+    np.testing.assert_allclose(dets[:, 4], w[:, 4], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dets[:, :4], w[:, :4], rtol=1e-4, atol=1e-3)
