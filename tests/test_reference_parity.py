@@ -661,3 +661,83 @@ def test_nms_parity_agnostic():
     assert len(dets) == len(w)
     np.testing.assert_allclose(dets[:, 4], w[:, 4], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(dets[:, :4], w[:, :4], rtol=1e-4, atol=1e-3)
+
+
+def test_pseudo_label_pipeline_parity():
+    """The on-device pseudo-label path (ssod/pseudo_label.py: NMS ->
+    M-warp -> box_candidates -> flips) vs the real reference
+    FairPseudoLabel.create_pseudo_label_online_with_gt
+    (utils/self_supervised_utils.py:194-246) on identical decoded teacher
+    predictions and M_s records."""
+    import importlib
+
+    from efficientteacher_tpu.ssod.pseudo_label import create_pseudo_labels
+
+    load_reference()
+    ssu = importlib.import_module("utils.self_supervised_utils")
+    ns = load_reference()
+    ref_cfg = ns.get_cfg()
+    ref_cfg.SSOD.nms_conf_thres = 0.3
+    ref_cfg.SSOD.nms_iou_thres = 0.5
+    ref_cfg.SSOD.multi_label = False
+    ref_cfg.Dataset.np = 0
+    fair = ssu.FairPseudoLabel(ref_cfg)
+
+    B, N, nc, img = 2, 200, 6, 128
+    rng = np.random.default_rng(41)
+    pred = np.zeros((B, N, 5 + nc), np.float32)
+    pred[..., 0:2] = rng.uniform(20, img - 20, (B, N, 2))
+    pred[..., 2:4] = rng.uniform(8, 50, (B, N, 2))
+    pred[..., 4] = rng.uniform(0, 0.25, (B, N))  # mostly below conf
+    pred[..., 5:] = rng.uniform(0, 1, (B, N, nc))
+    # a few confident well-separated detections per image
+    for bi in range(B):
+        for k, (cx, cy) in enumerate([(30, 30), (90, 40), (60, 95)]):
+            pred[bi, k, 0:4] = [cx + 3 * bi, cy, 24, 30]
+            pred[bi, k, 4] = 0.85 + 0.03 * k
+            pred[bi, k, 5:] = 0.05
+            pred[bi, k, 5 + (k + bi) % nc] = 0.9
+
+    # per-image affine + flips (the M_s contract)
+    m_s = np.zeros((B, 13), np.float32)
+    from efficientteacher_tpu.data.augment import build_affine
+    import random as _random
+
+    host_rng = _random.Random(7)
+    for bi in range(B):
+        M, sc = build_affine(img, img, degrees=0.0, translate=0.1,
+                             scale=0.3, shear=0.0, perspective=0.0,
+                             rng=host_rng)
+        m_s[bi, 0] = bi
+        m_s[bi, 1:10] = M.reshape(-1)
+        m_s[bi, 10] = sc
+        m_s[bi, 11] = float(bi % 2)        # flipud on image 1
+        m_s[bi, 12] = float((bi + 1) % 2)  # fliplr on image 0
+
+    t_imgs = torch.zeros((B, 3, img, img))
+    want_rows, invalid = fair.create_pseudo_label_online_with_gt(
+        torch.from_numpy(pred.copy()), t_imgs, torch.from_numpy(m_s),
+        t_imgs,
+    )
+    assert not invalid
+    want_rows = np.asarray(want_rows, np.float32)  # [img, cls, xywhn, ...]
+
+    pl = create_pseudo_labels(
+        jnp.asarray(pred), jnp.asarray(m_s), img_size=img, nc=nc,
+        conf_thres=0.3, iou_thres=0.5, max_pl=16, multi_label=False,
+    )
+    labels = np.asarray(pl.labels)
+    mask = np.asarray(pl.mask)
+    for bi in range(B):
+        w = want_rows[want_rows[:, 0] == bi]
+        g = labels[bi][mask[bi]]
+        assert len(g) == len(w), f"img {bi}: {len(g)} vs {len(w)} pseudo"
+        w = w[np.argsort(-w[:, 6])]
+        g = g[np.argsort(-g[:, 5])]
+        np.testing.assert_array_equal(g[:, 0].astype(int),
+                                      w[:, 1].astype(int))
+        np.testing.assert_allclose(g[:, 1:5], w[:, 2:6], atol=2e-3,
+                                   err_msg=f"img {bi} xywhn")
+        np.testing.assert_allclose(g[:, 5], w[:, 6], atol=1e-4)   # conf
+        np.testing.assert_allclose(g[:, 6], w[:, 7], atol=1e-4)   # obj
+        np.testing.assert_allclose(g[:, 7], w[:, 8], atol=1e-4)   # cls
