@@ -123,3 +123,61 @@ def test_ema_chain_parity():
             np.asarray(state.params[str(i)]), p.detach().numpy(),
             rtol=1e-5, atol=1e-7, err_msg=f"ema param {i} after 5 updates",
         )
+
+
+def test_labelmatch_thresholds_parity():
+    """LabelMatch GMM-high / percentile-low thresholds vs the real
+    reference utils/labelmatch.py (gmm_policy :138-189 +
+    update_epoch_cls_thr :191-240) on identical per-class score lists."""
+    import importlib
+
+    load_reference()
+    ref_lm_mod = importlib.import_module("utils.labelmatch")
+    ns_cfg = importlib.import_module("configs.defaults").get_cfg()
+    ns_cfg.Dataset.nc = 4
+    ns_cfg.SSOD.ignore_thres_high = 0.6
+    ns_cfg.SSOD.ignore_thres_low = 0.2
+    ns_cfg.SSOD.resample_high_percent = 0.25
+    ns_cfg.SSOD.resample_low_percent = 0.99
+
+    from efficientteacher_tpu.configs import get_cfg
+    from efficientteacher_tpu.ssod.labelmatch import LabelMatch
+
+    cfg = get_cfg()
+    cfg.Dataset.nc = 4
+    cfg.SSOD.ignore_thres_high = 0.6
+    cfg.SSOD.ignore_thres_low = 0.2
+    cfg.SSOD.resample_high_percent = 0.25
+    cfg.SSOD.resample_low_percent = 0.99
+
+    lnpi = 2.0
+    ratio = np.full(4, 0.25)
+    ref = ref_lm_mod.LabelMatch(ns_cfg, target_data_len=100,
+                                label_num_per_img=lnpi, cls_ratio_gt=ratio)
+    ours = LabelMatch(cfg, target_data_len=100, label_num_per_img=lnpi,
+                      cls_ratio_gt=ratio)
+
+    rng = np.random.default_rng(5)
+    for epoch in range(2):
+        per_cls = [
+            np.concatenate([rng.uniform(0.7, 0.99, 40),
+                            rng.uniform(0.05, 0.3, 60)]),  # bimodal
+            rng.uniform(0.3, 0.9, 12),                     # small unimodal
+            np.array([]),                                  # empty
+            rng.uniform(0.0, 1.0, 3),                      # < 4 scores
+        ]
+        for c, scores in enumerate(per_cls):
+            ref.score_list_epoch[c] = list(scores)
+            ours.score_list_epoch[c] = list(scores)
+        ref.update_epoch_cls_thr(epoch)
+        ours.update_epoch_cls_thr(epoch)
+        np.testing.assert_allclose(
+            np.asarray(ours.cls_thr_high, np.float64),
+            np.asarray(ref.cls_thr_high, np.float64), atol=1e-6,
+            err_msg=f"epoch {epoch} thr_high",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours.cls_thr_low, np.float64),
+            np.asarray(ref.cls_thr_low, np.float64), atol=1e-6,
+            err_msg=f"epoch {epoch} thr_low",
+        )
