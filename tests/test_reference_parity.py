@@ -741,3 +741,105 @@ def test_pseudo_label_pipeline_parity():
         np.testing.assert_allclose(g[:, 5], w[:, 6], atol=1e-4)   # conf
         np.testing.assert_allclose(g[:, 6], w[:, 7], atol=1e-4)   # obj
         np.testing.assert_allclose(g[:, 7], w[:, 8], atol=1e-4)   # cls
+
+
+def test_multi_teacher_pseudo_label_parity():
+    """create_pseudo_labels_multi vs the real
+    FairPseudoLabel.create_pseudo_label_online_with_extra_teachers
+    (self_supervised_utils.py:249-313): per-teacher NMS, class remap,
+    class-agnostic merge NMS, then the M-warp path.
+
+    NOTE: this reference branch also CRASHES upstream — it feeds 6-column
+    plain-NMS rows into output_to_target_ssod's 8-column unpack
+    (plots.py:489). The oracle here is the reference with its NMS swapped
+    for non_max_suppression_ssod (the 8-column variant the rest of its own
+    pipeline expects), which is exactly our implementation's reading.
+
+    The remap dict covers every teacher class (where our -1-drops and the
+    reference's keep-original behaviors coincide; for uncovered classes we
+    deliberately DROP while the reference leaks the foreign index)."""
+    import importlib
+
+    from efficientteacher_tpu.ssod.pseudo_label import (
+        create_pseudo_labels_multi,
+    )
+
+    ns = load_reference()
+    ssu = importlib.import_module("utils.self_supervised_utils")
+    ref_cfg = ns.get_cfg()
+    ref_cfg.SSOD.nms_conf_thres = 0.3
+    ref_cfg.SSOD.nms_iou_thres = 0.5
+    ref_cfg.SSOD.multi_label = False
+    ref_cfg.Dataset.np = 0
+    fair = ssu.FairPseudoLabel(ref_cfg)
+    # minimal upstream repair: the 8-column NMS the downstream unpack needs
+    orig_nms = ssu.non_max_suppression
+    ssu.non_max_suppression = (
+        lambda *a, labels=(), **k: ssu.non_max_suppression_ssod(*a, **k)
+    )
+
+    B, N, nc, nc_t, img = 2, 120, 6, 2, 128
+    rng = np.random.default_rng(51)
+
+    def mk(nc_, boxes):
+        pred = np.zeros((B, N, 5 + nc_), np.float32)
+        pred[..., 0:2] = rng.uniform(20, img - 20, (B, N, 2))
+        pred[..., 2:4] = rng.uniform(8, 40, (B, N, 2))
+        pred[..., 4] = rng.uniform(0, 0.2, (B, N))
+        pred[..., 5:] = rng.uniform(0, 1, (B, N, nc_))
+        for bi, rows in enumerate(boxes):
+            for k, (cx, cy, conf, cls) in enumerate(rows):
+                pred[bi, k, 0:4] = [cx, cy, 26, 30]
+                pred[bi, k, 4] = conf
+                pred[bi, k, 5:] = 0.05
+                pred[bi, k, 5 + cls] = 0.9
+        return pred
+
+    main = mk(nc, [[(30, 30, 0.9, 1), (95, 40, 0.85, 4)],
+                   [(60, 60, 0.88, 2)]])
+    # extra teacher overlaps main box 0 of image 0 (merge NMS must pick
+    # one) and adds a fresh box in image 1
+    extra = mk(nc_t, [[(32, 31, 0.95, 0)],
+                      [(100, 100, 0.8, 1)]])
+    cmap = {0: 3, 1: 0}  # teacher cls -> main cls, full coverage
+
+    m_s = np.zeros((B, 13), np.float32)
+    from efficientteacher_tpu.data.augment import build_affine
+    import random as _random
+
+    host_rng = _random.Random(3)
+    for bi in range(B):
+        M, sc = build_affine(img, img, degrees=0.0, translate=0.05,
+                             scale=0.2, shear=0.0, perspective=0.0,
+                             rng=host_rng)
+        m_s[bi] = [bi, *M.reshape(-1), sc, 0.0, float(bi % 2)]
+
+    t_imgs = torch.zeros((B, 3, img, img))
+    want_rows, _, invalid = fair.create_pseudo_label_online_with_extra_teachers(
+        torch.from_numpy(main.copy()), [torch.from_numpy(extra.copy())],
+        t_imgs, torch.from_numpy(m_s), [cmap], RANK=-2,
+    )
+    ssu.non_max_suppression = orig_nms
+    assert not invalid
+    want_rows = np.asarray(want_rows, np.float32)  # [img, cls, xywhn, conf]
+
+    cmap_arr = np.full(nc_t, -1, np.int32)
+    for k, v in cmap.items():
+        cmap_arr[k] = v
+    pl = create_pseudo_labels_multi(
+        [jnp.asarray(main), jnp.asarray(extra)], [None, cmap_arr],
+        jnp.asarray(m_s), img_size=img, nc=nc, conf_thres=0.3,
+        iou_thres=0.5, max_pl=16, multi_label=False,
+    )
+    labels = np.asarray(pl.labels)
+    mask = np.asarray(pl.mask)
+    for bi in range(B):
+        w = want_rows[want_rows[:, 0] == bi]
+        g = labels[bi][mask[bi]]
+        assert len(g) == len(w), f"img {bi}: {len(g)} vs {len(w)}"
+        w = w[np.argsort(-w[:, 6])]
+        g = g[np.argsort(-g[:, 5])]
+        np.testing.assert_array_equal(g[:, 0].astype(int),
+                                      w[:, 1].astype(int))
+        np.testing.assert_allclose(g[:, 1:5], w[:, 2:6], atol=2e-3)
+        np.testing.assert_allclose(g[:, 5], w[:, 6], atol=1e-4)
