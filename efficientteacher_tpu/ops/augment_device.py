@@ -514,9 +514,9 @@ def device_ssod_views(key, images, labels, mask, hyp: Dict,
     Returns (strong u8, labels (B, Mo, 5) xywhn on the STRONG view, mask,
     weak u8, m_s (B, 13)).
 
-    Deviation: the host strong view can additionally apply cutout and
-    AutoAugment (ssod_hyp.cutout/autoaugment); the device path covers
-    mosaic/affine/HSV/flips — use the host loader when those two matter.
+    Deviation: the host strong view can additionally apply AutoAugment
+    (ssod_hyp.autoaugment); the device path covers mosaic/affine/HSV/
+    cutout/flips — use the host loader when AutoAugment matters.
     """
     b, s = images.shape[0], images.shape[1]
     m = labels.shape[1]
@@ -532,7 +532,7 @@ def device_ssod_views(key, images, labels, mask, hyp: Dict,
     )
 
     def one(key_i, quad_imgs, quad_labels, quad_mask, bi):
-        km, kg, kw, kh, kfl, kfu = jax.random.split(key_i, 6)
+        km, kg, kw, kh, kfl, kfu, kc = jax.random.split(key_i, 7)
         if use_mosaic:
             canvas, boxes2s, valid = mosaic4_device(
                 km, quad_imgs, quad_labels, quad_mask, s
@@ -598,6 +598,12 @@ def device_ssod_views(key, images, labels, mask, hyp: Dict,
         strong = hsv_jitter_device(kh, strong, float(hyp.get("hsv_h", 0.0)),
                                    float(hyp.get("hsv_s", 0.0)),
                                    float(hyp.get("hsv_v", 0.0)))
+        if float(hyp.get("cutout", 0.0)) > 0:
+            kc1, kc2 = jax.random.split(kc)
+            do_cut = (jax.random.uniform(kc1, ())
+                      < float(hyp.get("cutout", 0.0)))
+            strong = jnp.where(do_cut, cutout_device(kc2, strong, s),
+                               strong)
         x1, y1, x2, y2 = new[:, 0], new[:, 1], new[:, 2], new[:, 3]
 
         m_s = jnp.concatenate([
@@ -623,3 +629,39 @@ def device_ssod_views(key, images, labels, mask, hyp: Dict,
     keys = jax.vmap(lambda i: jax.random.fold_in(kbatch, i))(jnp.arange(b))
     return jax.vmap(one)(keys, images[idx], labels[idx], mask[idx],
                          jnp.arange(b, dtype=jnp.int32))
+
+
+def cutout_device(key, img, s: int):
+    """Random occlusion rectangles (reference augmentations.py:382-407 /
+    data/augment.py cutout): the fixed scale ladder 1x0.5 + 2x0.25 +
+    4x0.125 + 8x0.0625 + 16x0.03125, each a random-size random-position
+    patch filled with a random gray-ish color. Labels are untouched (the
+    host impl keeps them too). One fused pass: all 31 rectangle masks are
+    combined into a single per-pixel patch-index select."""
+    scales = [0.5] * 1 + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8 \
+        + [0.03125] * 16
+    n = len(scales)
+    ks = jax.random.split(key, 5)
+    sc = jnp.asarray(scales, jnp.float32)
+    mh = (jax.random.uniform(ks[0], (n,)) * (sc * s - 1) + 1).astype(
+        jnp.int32)
+    mw = (jax.random.uniform(ks[1], (n,)) * (sc * s - 1) + 1).astype(
+        jnp.int32)
+    cx = jax.random.randint(ks[2], (n,), 0, s + 1)
+    cy = jax.random.randint(ks[3], (n,), 0, s + 1)
+    x1 = jnp.maximum(0, cx - mw // 2)
+    y1 = jnp.maximum(0, cy - mh // 2)
+    x2 = jnp.minimum(s, x1 + mw)
+    y2 = jnp.minimum(s, y1 + mh)
+    colors = jax.random.randint(ks[4], (n, 3), 64, 192).astype(jnp.float32)
+
+    ys = jnp.arange(s)[:, None, None]
+    xs = jnp.arange(s)[None, :, None]
+    inside = ((ys >= y1) & (ys < y2) & (xs >= x1) & (xs < x2))  # (s, s, n)
+    # later patches overwrite earlier ones (host loop order): take the
+    # LAST covering patch per pixel
+    rev = inside[..., ::-1]
+    last = n - 1 - jnp.argmax(rev, axis=-1)          # (s, s)
+    any_hit = inside.any(-1)
+    fill = colors[last]                               # (s, s, 3)
+    return jnp.where(any_hit[..., None], fill, img)

@@ -307,3 +307,42 @@ def test_mosaic_warp_fused_matches_canvas_path():
         frac_bad = (diff > 2.0).mean()
         assert frac_bad < 0.08, (s_, tx, ty, frac_bad)
         assert np.median(np.abs(got - want)) <= 1.0
+
+
+def test_cutout_device():
+    """Occlusion patches: fill colors in [64, 191], coverage > 0, patch
+    count/scales per the reference ladder (augmentations.py:382-407)."""
+    from efficientteacher_tpu.ops.augment_device import cutout_device
+
+    s = 96
+    img = jnp.zeros((s, s, 3), jnp.float32)
+    out = np.asarray(cutout_device(jax.random.PRNGKey(0), img, s))
+    changed = (out != 0).any(-1)
+    assert changed.any()
+    assert changed.mean() < 0.9  # patches, not a full fill
+    vals = out[changed]
+    assert vals.min() >= 64 and vals.max() <= 191
+
+
+def test_device_ssod_views_cutout_path():
+    from efficientteacher_tpu.ops.augment_device import device_ssod_views
+
+    rng = np.random.default_rng(12)
+    b, s, m = 2, 64, 4
+    images = rng.integers(0, 255, (b, s, s, 3), np.uint8)
+    labels = np.zeros((b, m, 5), np.float32)
+    mask = np.zeros((b, m), bool)
+    hyp = {"mosaic": 1.0, "degrees": 0.0, "translate": 0.1, "scale": 0.3,
+           "shear": 0.0, "perspective": 0.0, "hsv_h": 0.015, "hsv_s": 0.7,
+           "hsv_v": 0.4, "fliplr": 0.5, "flipud": 0.0, "cutout": 1.0}
+    strong, ol, om, weak, m_s = device_ssod_views(
+        jax.random.PRNGKey(5), jnp.asarray(images), jnp.asarray(labels),
+        jnp.asarray(mask), hyp,
+    )
+    assert strong.shape == (b, s, s, 3)
+    # strong differs from a cutout-free run (the patches landed)
+    strong2 = device_ssod_views(
+        jax.random.PRNGKey(5), jnp.asarray(images), jnp.asarray(labels),
+        jnp.asarray(mask), {**hyp, "cutout": 0.0},
+    )[0]
+    assert not np.array_equal(np.asarray(strong), np.asarray(strong2))
