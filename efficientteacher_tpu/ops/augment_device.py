@@ -367,7 +367,7 @@ def device_augment_batch(key, images, labels, mask, hyp: Dict,
     mo = max_out or 4 * m
     use_mosaic = float(hyp.get("mosaic", 1.0)) > 0
 
-    kperm, kbatch = jax.random.split(key)
+    kperm, kbatch, khsv_base = jax.random.split(key, 3)
     # 3 partner tiles per sample, drawn in-batch by shifted permutation
     # (never self at shift 0)
     shifts = 1 + jax.random.randint(kperm, (3,), 0, b - 1) if b > 1 else (
@@ -471,9 +471,6 @@ def device_augment_batch(key, images, labels, mask, hyp: Dict,
         new = warp_boxes_device(boxes[:, 1:], M_box, s, s)
         keep = valid & box_candidates_device(boxes[:, 1:], new, sc)
 
-        img = hsv_jitter_device(kh, img, float(hyp.get("hsv_h", 0.0)),
-                                float(hyp.get("hsv_s", 0.0)),
-                                float(hyp.get("hsv_v", 0.0)))
         x1, y1, x2, y2 = new[:, 0], new[:, 1], new[:, 2], new[:, 3]
 
         # back to [cls, xywhn], compacted valid-first into mo slots
@@ -485,15 +482,43 @@ def device_augment_batch(key, images, labels, mask, hyp: Dict,
         order = jnp.argsort(~keep)  # valid rows first, stable
         out = out[order][:mo]
         keep = keep[order][:mo]
-        return (jnp.clip(img, 0, 255).astype(jnp.uint8),
-                jnp.where(keep[:, None], out, 0.0), keep)
+        return img, jnp.where(keep[:, None], out, 0.0), keep
 
     keys = jax.vmap(lambda i: jax.random.fold_in(kbatch, i))(jnp.arange(b))
     quad_imgs = images[idx]        # (B, 4, s, s, 3)
     quad_labels = labels[idx]
     quad_mask = mask[idx]
     p_mos = jnp.full((b,), float(hyp.get("mosaic", 1.0)))
-    return jax.vmap(one)(keys, quad_imgs, quad_labels, quad_mask, p_mos)
+    imgs, out, keep = jax.vmap(one)(keys, quad_imgs, quad_labels,
+                                    quad_mask, p_mos)
+
+    # mixup (host order: post-warp, pre-HSV — datasets.py __getitem__):
+    # Beta(32, 32) blend with the batch-rolled partner, labels concatenated
+    p_mix = float(hyp.get("mixup", 0.0))
+    if p_mix > 0 and use_mosaic and b > 1:
+        kmr, kmp = jax.random.split(jax.random.fold_in(kbatch, b))
+        r = jax.random.beta(kmr, 32.0, 32.0, (b, 1, 1, 1))
+        do_mix = jax.random.uniform(kmp, (b,)) < p_mix
+        partner = jnp.roll(imgs, 1, axis=0)
+        imgs = jnp.where(do_mix[:, None, None, None],
+                         imgs * r + partner * (1.0 - r), imgs)
+        p_out = jnp.roll(out, 1, axis=0)
+        p_keep = jnp.roll(keep, 1, axis=0) & do_mix[:, None]
+        out = jnp.concatenate([out, p_out], axis=1)
+        keep = jnp.concatenate([keep, p_keep], axis=1)
+        order = jnp.argsort(~keep, axis=1)
+        out = jnp.take_along_axis(out, order[..., None], axis=1)[:, :mo]
+        keep = jnp.take_along_axis(keep, order, axis=1)[:, :mo]
+        out = jnp.where(keep[..., None], out, 0.0)
+
+    khsv = jax.vmap(lambda i: jax.random.fold_in(khsv_base, i))(jnp.arange(b))
+    imgs = jax.vmap(
+        lambda k, im: hsv_jitter_device(
+            k, im, float(hyp.get("hsv_h", 0.0)),
+            float(hyp.get("hsv_s", 0.0)), float(hyp.get("hsv_v", 0.0)),
+        )
+    )(khsv, imgs)
+    return jnp.clip(imgs, 0, 255).astype(jnp.uint8), out, keep
 
 
 # -- SSOD dual view -------------------------------------------------------------

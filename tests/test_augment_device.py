@@ -346,3 +346,33 @@ def test_device_ssod_views_cutout_path():
         jnp.asarray(mask), {**hyp, "cutout": 0.0},
     )[0]
     assert not np.array_equal(np.asarray(strong), np.asarray(strong2))
+
+
+def test_device_augment_mixup():
+    """hyp.mixup blends with the rolled partner and concatenates labels
+    (host mixup: Beta(32,32) post-warp pre-HSV, data/augment.py:259)."""
+    rng = np.random.default_rng(14)
+    b, s, m = 4, 64, 6
+    images = rng.integers(0, 255, (b, s, s, 3), np.uint8)
+    labels = np.zeros((b, m, 5), np.float32)
+    mask = np.zeros((b, m), bool)
+    for bi in range(b):
+        labels[bi, 0] = [bi % 3, 0.5, 0.5, 0.4, 0.4]
+        mask[bi, 0] = True
+    base = {"mosaic": 1.0, "degrees": 0.0, "translate": 0.05, "scale": 0.1,
+            "shear": 0.0, "perspective": 0.0, "hsv_h": 0, "hsv_s": 0,
+            "hsv_v": 0, "fliplr": 0.0, "flipud": 0.0}
+    out0 = device_augment_batch(
+        jax.random.PRNGKey(9), jnp.asarray(images), jnp.asarray(labels),
+        jnp.asarray(mask), base, max_out=16,
+    )
+    out1 = device_augment_batch(
+        jax.random.PRNGKey(9), jnp.asarray(images), jnp.asarray(labels),
+        jnp.asarray(mask), {**base, "mixup": 1.0}, max_out=16,
+    )
+    # images change (blend) and label count grows
+    assert not np.array_equal(np.asarray(out0[0]), np.asarray(out1[0]))
+    assert np.asarray(out1[2]).sum() >= np.asarray(out0[2]).sum()
+    # boxes remain valid normalized geometry
+    sel = np.asarray(out1[1])[np.asarray(out1[2])]
+    assert (sel[:, 1:] >= -1e-4).all() and (sel[:, 1:] <= 1 + 1e-4).all()
