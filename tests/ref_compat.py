@@ -105,6 +105,22 @@ def _ensure_font():
         pass  # Annotator() still imports if PIL finds any default font
 
 
+def _shim_cuda_noop():
+    """Several reference paths hardcode .cuda() (e.g. DomainLoss,
+    models/loss/loss.py:332). On this CPU-only torch, make it a no-op so
+    those numerics stay testable."""
+    import torch
+
+    if getattr(torch.Tensor.cuda, "_ref_compat", False):
+        return
+
+    def cuda(self, *a, **k):
+        return self
+
+    cuda._ref_compat = True
+    torch.Tensor.cuda = cuda
+
+
 def _shim_torch_clamp():
     """The reference was written against an older torch where
     `long_tensor.clamp_(0, float_tensor)` silently cast the bound
@@ -148,6 +164,7 @@ def load_reference():
     _shim_pkg_resources()
     _shim_torchvision()
     _shim_torch_clamp()
+    _shim_cuda_noop()
     _ensure_font()
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)

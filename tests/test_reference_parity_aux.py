@@ -181,3 +181,81 @@ def test_labelmatch_thresholds_parity():
             np.asarray(ref.cls_thr_low, np.float64), atol=1e-6,
             err_msg=f"epoch {epoch} thr_low",
         )
+
+
+def test_domain_losses_parity():
+    """losses/domain_loss.py vs the real DomainLoss/TargetLoss (reference
+    models/loss/loss.py:312-421) on identical GRL discriminator maps
+    (.cuda() no-op'd by ref_compat on this CPU torch)."""
+    import importlib
+
+    from efficientteacher_tpu.losses.domain_loss import (
+        domain_loss, target_loss,
+    )
+
+    load_reference()
+    loss_mod = importlib.import_module("models.loss.loss")
+    ref_d = loss_mod.DomainLoss()
+    ref_t = loss_mod.TargetLoss()
+
+    rng = np.random.default_rng(3)
+    feats_nchw = [
+        rng.standard_normal((2, 2, g, g)).astype(np.float32)
+        for g in (16, 8, 4)
+    ]
+    want_d = float(ref_d([torch.from_numpy(f) for f in feats_nchw]))
+    want_t = float(ref_t([torch.from_numpy(f) for f in feats_nchw]))
+
+    feats_nhwc = [jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats_nchw]
+    got_d = float(domain_loss(feats_nhwc))
+    got_t = float(target_loss(feats_nhwc))
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(got_t, want_t, rtol=1e-5, atol=1e-7)
+
+
+def test_fitness_parity():
+    """fitness() weights 0.1*mAP50 + 0.9*mAP (reference utils/metrics.py
+    :16-19)."""
+    import importlib
+
+    load_reference()
+    ref_metrics = importlib.import_module("utils.metrics")
+    from efficientteacher_tpu.eval.metrics import fitness
+
+    x = np.array([[0.5, 0.6, 0.7, 0.4]])
+    np.testing.assert_allclose(fitness(x), ref_metrics.fitness(x),
+                               atol=1e-8)
+
+
+def test_oks_parity():
+    """eval/keypoint_metrics.oks vs reference utils/metrics.py:453-482
+    oks_iou. The reference uses sigmas=0.1 with e = d^2/(2*sigma)^2/area/2
+    and averages over ALL keypoints; our COCO-style formula
+    e = d^2/(2*area*kappa^2) reduces to it exactly at kappa = 0.2 with all
+    keypoints visible and area = the GT keypoint-polygon bbox area (the
+    quantities the reference derives)."""
+    import importlib
+
+    from efficientteacher_tpu.eval.keypoint_metrics import oks
+
+    load_reference()
+    ref_metrics = importlib.import_module("utils.metrics")
+
+    rng = np.random.default_rng(6)
+    G, P, npk = 3, 5, 4
+    gt_kps = rng.uniform(50, 300, (G, npk, 2)).astype(np.float32)
+    pred_kps = rng.uniform(50, 300, (P, npk, 2)).astype(np.float32)
+
+    # reference layout: labels[:, 5:5+2np] flat xy, detections[:, -1-2np:-1]
+    labels = np.zeros((G, 5 + 2 * npk), np.float32)
+    labels[:, 5:] = gt_kps.reshape(G, -1)
+    dets = np.zeros((P, 6 + 2 * npk + 1), np.float32)
+    dets[:, -1 - 2 * npk:-1] = pred_kps.reshape(P, -1)
+    want = ref_metrics.oks_iou(torch.from_numpy(labels),
+                               torch.from_numpy(dets), npk)
+
+    # polygon bbox areas (reference poly2hbb w*h)
+    areas = ((gt_kps[..., 0].max(1) - gt_kps[..., 0].min(1))
+             * (gt_kps[..., 1].max(1) - gt_kps[..., 1].min(1)))
+    got = oks(pred_kps, gt_kps, areas, kappas=np.full(npk, 0.2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
