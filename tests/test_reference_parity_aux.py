@@ -259,3 +259,24 @@ def test_oks_parity():
              * (gt_kps[..., 1].max(1) - gt_kps[..., 1].min(1)))
     got = oks(pred_kps, gt_kps, areas, kappas=np.full(npk, 0.2))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_lr_schedule_parity():
+    """one_cycle / linear LR lambdas match the reference's exactly over
+    every epoch (utils/general.py:480-482, trainer/trainer.py:243-245)."""
+    import importlib
+    import math
+
+    from efficientteacher_tpu.train.optim import linear_lf, one_cycle
+
+    load_reference()
+    ref_general = importlib.import_module("utils.general")
+
+    epochs, lrf = 300, 0.1
+    ref_cos = ref_general.one_cycle(1, lrf, epochs)
+    ref_lin = (lambda x: (1 - x / (epochs - 1)) * (1.0 - lrf) + lrf)
+    our_cos = one_cycle(1, lrf, epochs)
+    our_lin = linear_lf(lrf, epochs)
+    for e in range(epochs):
+        assert math.isclose(our_cos(e), ref_cos(e), rel_tol=1e-12), e
+        assert math.isclose(our_lin(e), ref_lin(e), rel_tol=1e-12), e
