@@ -105,6 +105,19 @@ def _ensure_font():
         pass  # Annotator() still imports if PIL finds any default font
 
 
+def _shim_numpy_aliases():
+    """The reference uses np.int (utils/general.py:516), removed in
+    numpy>=1.24; restore the deprecated builtin alias."""
+    import numpy as np
+
+    if not hasattr(np, "int"):
+        np.int = int
+    if not hasattr(np, "float"):
+        np.float = float
+    if not hasattr(np, "bool"):
+        np.bool = bool
+
+
 def _shim_cuda_noop():
     """Several reference paths hardcode .cuda() (e.g. DomainLoss,
     models/loss/loss.py:332). On this CPU-only torch, make it a no-op so
@@ -165,6 +178,7 @@ def load_reference():
     _shim_torchvision()
     _shim_torch_clamp()
     _shim_cuda_noop()
+    _shim_numpy_aliases()
     _ensure_font()
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)

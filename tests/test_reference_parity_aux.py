@@ -280,3 +280,53 @@ def test_lr_schedule_parity():
     for e in range(epochs):
         assert math.isclose(our_cos(e), ref_cos(e), rel_tol=1e-12), e
         assert math.isclose(our_lin(e), ref_lin(e), rel_tol=1e-12), e
+
+
+def test_box_and_utils_parity():
+    """Box conversions, letterbox-undo, check_img_size and class weights vs
+    reference utils/general.py on identical inputs."""
+    import importlib
+
+    load_reference()
+    rg = importlib.import_module("utils.general")
+    from efficientteacher_tpu.eval.validator import _scale_to_native
+    from efficientteacher_tpu.ops import boxes as ob
+    from efficientteacher_tpu.utils.general import (
+        check_img_size, labels_to_class_weights,
+    )
+
+    rng = np.random.default_rng(8)
+    x = rng.uniform(0, 600, (20, 4)).astype(np.float32)
+    x[:, 2:] = x[:, :2] + rng.uniform(1, 40, (20, 2))
+    np.testing.assert_allclose(np.asarray(ob.xyxy2xywh(jnp.asarray(x))),
+                               rg.xyxy2xywh(x), rtol=1e-6)
+    xn = rng.uniform(0.05, 0.95, (20, 4)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(ob.xywh2xyxy(jnp.asarray(xn))),
+                               rg.xywh2xyxy(xn), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ob.xywhn2xyxy(jnp.asarray(xn), 640, 480, 8, 4)),
+        rg.xywhn2xyxy(xn, 640, 480, 8, 4), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ob.xyxy2xywhn(jnp.asarray(x), 640, 640)),
+        rg.xyxy2xywhn(x, 640, 640), rtol=1e-5,
+    )
+
+    # scale_coords (letterbox undo): reference clips via clip_coords
+    coords = rng.uniform(0, 640, (10, 4)).astype(np.float32)
+    coords[:, 2:] = np.maximum(coords[:, 2:], coords[:, :2])
+    want = rg.scale_coords((640, 640), torch.from_numpy(coords.copy()),
+                           (480, 600)).numpy()
+    got = _scale_to_native(coords.copy(), (640, 640), (480, 600))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+    assert check_img_size(641) == rg.check_img_size(641)
+    assert check_img_size(640) == rg.check_img_size(640)
+
+    labels = [rng.integers(0, 5, (rng.integers(1, 6), 5)).astype(np.float32)
+              for _ in range(8)]
+    want_w = rg.labels_to_class_weights(labels, 5)
+    want_w = want_w.numpy() if hasattr(want_w, "numpy") else want_w
+    got_w = labels_to_class_weights(labels, 5)
+    np.testing.assert_allclose(np.asarray(got_w, np.float64),
+                               np.asarray(want_w, np.float64), rtol=1e-5)
