@@ -60,11 +60,16 @@ def _assign_one(scores, boxes, anc_points, gt_cls, gt_boxes, gt_mask,
     is_in_topk = jnp.where(counts > 1, 0, counts).astype(bool)
     mask_pos = is_in_topk & in_gts                              # (M, N)
 
-    # resolve multi-GT anchors to highest overlap
+    # resolve multi-GT anchors: the reference replaces the whole column with
+    # one_hot(argmax of overlaps over ALL GT rows) — which can hand the anchor
+    # to a GT that never claimed it (nanodet_utils.select_highest_overlaps
+    # :239-246, a mirrored quirk; padded rows have overlap 0 so never win
+    # unless all overlaps are 0, in which case row 0 wins, as in torch argmax)
     claims = mask_pos.sum(0)
-    best_gt = jnp.argmax(jnp.where(mask_pos, overlaps, -1.0), axis=0)
-    keep = (claims <= 1) | (jnp.arange(m)[:, None] == best_gt[None, :])
-    mask_pos = mask_pos & keep
+    multi = claims > 1
+    best_gt_all = jnp.argmax(overlaps, axis=0)                  # (N,)
+    col = jnp.arange(m)[:, None] == best_gt_all[None, :]        # (M, N)
+    mask_pos = jnp.where(multi[None, :], col, mask_pos)
 
     fg = mask_pos.any(0)
     target_gt = jnp.argmax(mask_pos, axis=0)

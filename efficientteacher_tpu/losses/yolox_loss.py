@@ -6,11 +6,18 @@ Parity with reference models/loss/yolox_loss.py:20-179:
     resolution (:126-132)
   - SimOTA assignment on stop-gradient decodes (:70-77)
   - losses, each .sum()/num_fg (:103-118):
-      iou: IOUloss (giou default) on fg pairs * box_loss_weight(5)
+      iou: IOUloss (giou default; the reference's OWN nonstandard variant,
+           see _iou_loss) on fg pairs * box_loss_weight(5)
       obj: BCE over ALL anchors vs fg mask * obj_loss_weight(1)
       cls: BCE on fg vs onehot * matched-IoU * cls_loss_weight(1)
-      l1 (when use_l1, enabled for the last no_aug_epochs): |reg_raw - t|
+      l1: |reg_raw - t| — NOTE the reference ALWAYS adds this term
+          (yolox_loss.py:107,122: self.use_l1 is stored but never checked in
+          __call__); we keep it behind use_l1 as upstream YOLOX intends and
+          parity-test with use_l1=True
   - iou_obj option: obj target becomes the matched IoU (:166-176)
+
+External parity: tests/test_reference_parity_anchor_free.py runs the ACTUAL
+reference ComputeFastXLoss/SimOTAAssigner on identical inputs.
 """
 
 from __future__ import annotations
@@ -70,6 +77,54 @@ def _grids(preds: Sequence[jnp.ndarray], strides):
     )
 
 
+def _iou_loss(pred: jnp.ndarray, target: jnp.ndarray, iou_type: str):
+    """Elementwise IOUloss on xywh boxes — exact rewrite of the reference's
+    own variant (models/loss/loss.py:726-859), which differs from the
+    utils/metrics.py bbox_iou family: 'iou' returns 1 - iou^2 (:759), 'giou'
+    penalizes (area_c - INTERSECTION)/area_c and clamps to [-1, 1] (:771-773),
+    'diou'/'ciou' clamp likewise (:790, :815)."""
+    p_tl = pred[..., :2] - pred[..., 2:4] / 2
+    p_br = pred[..., :2] + pred[..., 2:4] / 2
+    t_tl = target[..., :2] - target[..., 2:4] / 2
+    t_br = target[..., :2] + target[..., 2:4] / 2
+    tl = jnp.maximum(p_tl, t_tl)
+    br = jnp.minimum(p_br, t_br)
+    area_p = jnp.prod(pred[..., 2:4], -1)
+    area_g = jnp.prod(target[..., 2:4], -1)
+    area_i = jnp.prod(jnp.clip(br - tl, 0, None), -1)
+    iou = area_i / (area_p + area_g - area_i + 1e-16)
+
+    if iou_type == "iou":
+        return 1.0 - iou**2
+    c_tl = jnp.minimum(p_tl, t_tl)
+    c_br = jnp.maximum(p_br, t_br)
+    if iou_type == "giou":
+        area_c = jnp.prod(c_br - c_tl, -1)
+        giou = iou - (area_c - area_i) / jnp.clip(area_c, 1e-16, None)
+        return 1.0 - jnp.clip(giou, -1.0, 1.0)
+    if iou_type in ("diou", "ciou"):
+        convex_dis = ((c_br[..., 0] - c_tl[..., 0]) ** 2
+                      + (c_br[..., 1] - c_tl[..., 1]) ** 2 + 1e-7)
+        center_dis = ((pred[..., 0] - target[..., 0]) ** 2
+                      + (pred[..., 1] - target[..., 1]) ** 2)
+        if iou_type == "diou":
+            diou = iou - center_dis / convex_dis
+            return 1.0 - jnp.clip(diou, -1.0, 1.0)
+        import math
+
+        v = (4 / math.pi**2) * (
+            jnp.arctan(target[..., 2] / jnp.clip(target[..., 3], 1e-7, None))
+            - jnp.arctan(pred[..., 2] / jnp.clip(pred[..., 3], 1e-7, None))
+        ) ** 2
+        alpha = jax.lax.stop_gradient(v / ((1 + 1e-7) - iou + v))
+        ciou = iou - (center_dis / convex_dis + alpha * v)
+        return 1.0 - jnp.clip(ciou, -1.0, 1.0)
+    if iou_type == "siou":
+        loss = 1.0 - bbox_iou(pred, target, x1y1x2y2=False, SIoU=True)
+        return loss
+    raise NotImplementedError(iou_type)
+
+
 def compute_yolox_loss(
     preds: Sequence[jnp.ndarray],  # (B, ny, nx, 1, 5+nc) raw [xywh, obj, cls]
     labels: jnp.ndarray,           # (B, M, 5) [cls, xywhn]
@@ -118,11 +173,8 @@ def compute_yolox_loss(
         cls_t = cls_t * asn.matched_iou[..., None]
         obj_t = fg.astype(jnp.float32)
 
-    kw = {"giou": dict(GIoU=True), "diou": dict(DIoU=True),
-          "ciou": dict(CIoU=True), "siou": dict(SIoU=True),
-          "iou": {}}[lc.iou_type]
-    iou = bbox_iou(boxes, reg_t, x1y1x2y2=False, **kw)
-    loss_iou = jnp.sum((1.0 - iou) * fg) / num_fg
+    iou_loss = _iou_loss(boxes, reg_t, lc.iou_type)
+    loss_iou = jnp.sum(iou_loss * fg) / num_fg
 
     loss_obj = jnp.sum(bce_with_logits(obj_logits[..., 0], obj_t)) / num_fg
     loss_cls = jnp.sum(
