@@ -71,7 +71,7 @@ def run(
     conf_thres: float = 0.001,
     iou_thres: float = 0.6,
     max_det: int = 300,
-    max_nms: int = 4096,
+    max_nms: int = 30000,
     norm_scale: float = 255.0,
     compute_dtype=jnp.bfloat16,
     img_size: Optional[int] = None,

@@ -45,11 +45,20 @@ def greedy_nms_keep(
     valid: jnp.ndarray,
     iou_thres: float,
     tile: int = 256,
+    stop_at: int | None = None,
 ) -> jnp.ndarray:
     """Exact greedy NMS keep-mask over score-sorted `boxes` (K, 4) xyxy.
 
     `valid` (K,) bool marks real candidates (padding rows must be False).
     Returns a (K,) bool keep mask. K must be a multiple of `tile`.
+
+    `stop_at`: early-exit once that many rows are kept — later rows cannot
+    influence earlier keeps in greedy NMS, so the mask stays exact for the
+    first `stop_at` kept rows (all a max_det-capped consumer reads); tiles
+    after the exit keep their `valid` initialization and must be ignored
+    beyond that point. This is what makes the reference's max_nms=30000
+    candidate cap (general.py:1024,1061) affordable on TPU: crowded images
+    resolve in the first few tiles instead of sweeping all ~120.
     """
     k = boxes.shape[0]
     assert k % tile == 0, f"K={k} must be a multiple of tile={tile}"
@@ -87,7 +96,22 @@ def greedy_nms_keep(
         )
         return jax.lax.dynamic_update_slice(keep, act, (row0,))
 
-    keep = jax.lax.fori_loop(0, num_tiles, outer, valid)
+    if stop_at is None:
+        return jax.lax.fori_loop(0, num_tiles, outer, valid)
+
+    def sweep_cond(state):
+        ti, _, cnt = state
+        return (ti < num_tiles) & (cnt < stop_at)
+
+    def sweep_body(state):
+        ti, keep, cnt = state
+        keep = outer(ti, keep)
+        act = jax.lax.dynamic_slice(keep, (ti * tile,), (tile,))
+        return ti + 1, keep, cnt + jnp.sum(act)
+
+    _, keep, _ = jax.lax.while_loop(
+        sweep_cond, sweep_body, (jnp.int32(0), valid, jnp.int32(0))
+    )
     return keep
 
 
@@ -192,7 +216,7 @@ def batched_nms(
     iou_thres: float = 0.45,
     multi_label: bool = False,
     agnostic: bool = False,
-    max_nms: int = 4096,
+    max_nms: int = 30000,
     max_det: int = 300,
     ssod: bool = False,
     tile: int = 256,
@@ -226,10 +250,11 @@ def batched_nms(
         from .nms_pallas import greedy_nms_keep_pallas
 
         keep = greedy_nms_keep_pallas(nms_boxes, cand_valid, iou_thres,
-                                      tile=eff_tile)
+                                      tile=eff_tile, stop_at=max_det)
     else:
         keep = jax.vmap(
-            lambda b, v: greedy_nms_keep(b, v, iou_thres, tile=eff_tile)
+            lambda b, v: greedy_nms_keep(b, v, iou_thres, tile=eff_tile,
+                                         stop_at=max_det)
         )(nms_boxes, cand_valid)
     dets, valid = jax.vmap(
         functools.partial(_compact_keep, max_det=max_det)
@@ -244,7 +269,7 @@ def non_max_suppression(
     agnostic=False,
     multi_label=False,
     max_det=300,
-    max_nms=4096,
+    max_nms=30000,
 ):
     """Reference-shaped convenience wrapper (returns NMSOutput)."""
     nc = prediction.shape[2] - 5

@@ -49,7 +49,7 @@ def _tile_iou(c_a, c_b):
 
 
 def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, iou_thres: float,
-                tile: int, k: int):
+                tile: int, k: int, stop_at: int | None):
     num_tiles = k // tile
     tri = jnp.triu(jnp.ones((tile, tile), dtype=jnp.float32), 1)
 
@@ -93,17 +93,32 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, iou_thres: float,
             fix_cond, fix_body, (base, jnp.bool_(True), jnp.int32(0))
         )
         keep_ref[0, 0, pl.ds(row0, tile)] = act
-        return 0
+        return jnp.sum(act).astype(jnp.float32)
 
-    jax.lax.fori_loop(0, num_tiles, outer, 0)
+    if stop_at is None:
+        jax.lax.fori_loop(0, num_tiles, lambda ti, c: c + outer(ti, c), 0.0)
+    else:
+        # early exit once stop_at rows are kept (same contract as
+        # ops.nms.greedy_nms_keep stop_at: exact for the first stop_at kept
+        # rows; later tiles keep their `valid` initialization)
+        def body(ti, cnt):
+            return jax.lax.cond(
+                cnt < float(stop_at),
+                lambda c: c + outer(ti, c),
+                lambda c: c,
+                cnt,
+            )
+
+        jax.lax.fori_loop(0, num_tiles, body, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thres", "tile"))
+@functools.partial(jax.jit, static_argnames=("iou_thres", "tile", "stop_at"))
 def greedy_nms_keep_pallas(
     boxes: jnp.ndarray,  # (B, K, 4) score-sorted xyxy (class-offset applied)
     valid: jnp.ndarray,  # (B, K) bool
     iou_thres: float,
     tile: int = 256,
+    stop_at: int | None = None,
 ) -> jnp.ndarray:
     """Batched exact-greedy keep masks, one pallas program per image."""
     b, k, _ = boxes.shape
@@ -111,7 +126,7 @@ def greedy_nms_keep_pallas(
     planes = jnp.transpose(boxes.astype(jnp.float32), (0, 2, 1))  # (B, 4, K)
     out = pl.pallas_call(
         functools.partial(_nms_kernel, iou_thres=float(iou_thres),
-                          tile=tile, k=k),
+                          tile=tile, k=k, stop_at=stop_at),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, 4, k), lambda i: (i, 0, 0),

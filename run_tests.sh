@@ -6,7 +6,14 @@
 # handshake, serializes across processes) even when JAX_PLATFORMS=cpu.
 # Clearing the var makes sitecustomize skip registration entirely.
 cd "$(dirname "$0")"
-if [ $# -eq 0 ]; then
+# --quick: skip tests marked slow (~5-7 min instead of ~40 on the 1-core host)
+if [ "$1" = "--quick" ]; then
+    shift
+    if [ $# -eq 0 ]; then
+        set -- tests/ -x -q
+    fi
+    set -- "$@" -m "not slow"
+elif [ $# -eq 0 ]; then
     set -- tests/ -x -q
 fi
 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \

@@ -258,6 +258,64 @@ def test_nms_parity_ssod_columns():
     np.testing.assert_allclose(dets[:, 7], w[:, 7], rtol=1e-5, atol=1e-5)
 
 
+def _crowded_decoded_preds(rng, B, N, nc, img=640, clusters=150):
+    """Decoded preds where boxes pile up in clusters so NMS has real
+    suppression work and (anchor, class) candidates far exceed 4096."""
+    centers = rng.uniform(80, img - 80, (clusters, 2))
+    sizes = rng.uniform(24, 70, (clusters, 2))
+    which = rng.integers(0, clusters, (B, N))
+    xy = centers[which] + rng.normal(0, 2.5, (B, N, 2))
+    wh = sizes[which] * rng.uniform(0.95, 1.05, (B, N, 2))
+    obj = rng.uniform(0.05, 0.9, (B, N, 1))
+    cls = rng.uniform(0.0, 0.9, (B, N, nc))
+    return np.concatenate([xy, wh, obj, cls], -1).astype(np.float32)
+
+
+@pytest.mark.parametrize(
+    "n,nc,clusters,min_cand",
+    [(1200, 8, 150, 4096),    # ~9.6k candidates: above the old 4096 cap,
+                              # below the reference's 30000 — the regression
+                              # the cap fix closes (VERDICT r2 Weak #3)
+     (2200, 16, 60, 30000)],  # >30k candidates: both sides truncate at the
+                              # reference's max_nms=30000 identically
+                              # (tight clusters keep the pure-python shim
+                              # under the reference's 10s NMS time limit)
+)
+def test_nms_parity_crowded_val_settings(n, nc, clusters, min_cand):
+    """Row-for-row parity vs reference utils/general.py:994 at the val
+    contract (conf 0.001, iou 0.6, multi_label) on crowded images whose
+    candidate count exceeds 4096."""
+    ns = load_reference()
+    rng = np.random.default_rng(21)
+    pred = _crowded_decoded_preds(rng, B=2, N=n, nc=nc, clusters=clusters)
+    n_cand = int((pred[..., 4:5] * pred[..., 5:] > 0.001).sum(axis=(1, 2)).min())
+    assert n_cand > min_cand, f"test not crowded enough: {n_cand}"
+
+    # one reference call per image: its internal 10 s time limit
+    # (general.py:1020) is per CALL, and the pure-python torchvision shim
+    # needs the full budget for each crowded image
+    want = [
+        ns.general.non_max_suppression(
+            torch.from_numpy(pred[bi:bi + 1]), conf_thres=0.001,
+            iou_thres=0.6, multi_label=True,
+        )[0]
+        for bi in range(pred.shape[0])
+    ]
+    got = our_nms.non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.001, iou_thres=0.6, multi_label=True,
+    )
+    dets = np.asarray(got.detections)
+    valid = np.asarray(got.valid)
+    for bi in range(pred.shape[0]):
+        w = want[bi].numpy()
+        g = dets[bi][valid[bi]]
+        assert len(g) == len(w), f"image {bi}: {len(g)} vs {len(w)} kept"
+        np.testing.assert_allclose(g[:, 4], w[:, 4], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(g[:, :4], w[:, :4], rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(g[:, 5].astype(int),
+                                      w[:, 5].astype(int))
+
+
 def test_ssod_loss_parity():
     """compute_ssod_loss vs the real ComputeStudentMatchLoss
     (reference models/loss/ssod/ssod_loss.py:26-295) on identical
