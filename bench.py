@@ -95,6 +95,101 @@ def _loader_benches(img=640, bs=32):
     return cfg, sup_loader, sup_rate, ssod_rate
 
 
+def _bench_ssod_step(aux):
+    """North-star workload (VERDICT r2 Next #5): the fused SSOD train step
+    — EMA-teacher forward + on-device FairPseudoLabel NMS/warp + student
+    concat forward + sup/unsup losses + SGD + double-EMA — as ONE XLA
+    program. 16 labeled + 16 unlabeled @640 YOLOv5l, the reference's total
+    batch 32 recipe (README.md:111-115). Reference hot loop being beaten:
+    trainer/ssod_trainer.py:587-680 (host NMS round-trip per step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficientteacher_tpu.configs import get_cfg
+    from efficientteacher_tpu.losses.ssod_loss import SSODLossConfig
+    from efficientteacher_tpu.losses.yolov5_loss import YoloV5LossConfig
+    from efficientteacher_tpu.models import build_model
+    from efficientteacher_tpu.models.spec import spec_from_cfg
+    from efficientteacher_tpu.train import OptimizerConfig, Schedule
+    from efficientteacher_tpu.train.ssod_step import (
+        create_ssod_train_state, make_ssod_train_step,
+    )
+
+    cfg = get_cfg()
+    cfg.Model.Backbone.name = "YoloV5"
+    cfg.Model.Neck.name = "YoloV5"
+    cfg.Model.Head.name = "YoloV5"
+    cfg.Model.Neck.in_channels = [256, 512, 1024]
+    cfg.Model.Neck.out_channels = [256, 512, 1024]
+    cfg.Model.width_multiple = 1.0
+    cfg.Model.depth_multiple = 1.0
+    cfg.Dataset.nc = 80
+    cfg.Dataset.img_size = 640
+
+    spec = spec_from_cfg(cfg)
+    model = build_model(spec, ssod=True, dtype=jnp.bfloat16)
+    img, bs, bu, m = 640, 16, 16, 60
+    max_pl = int(cfg.SSOD.max_pseudo_labels)  # reference default 100
+    x0 = jnp.zeros((1, img, img, 3), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    oc = OptimizerConfig(epochs=300)
+    state = create_ssod_train_state(
+        variables["params"], variables["batch_stats"], oc)
+    anchors = np.asarray(spec.anchors, np.float32).reshape(3, 3, 2) / np.array(
+        [8.0, 16.0, 32.0]).reshape(3, 1, 1)
+    step = make_ssod_train_step(
+        model, YoloV5LossConfig.from_cfg(cfg),
+        SSODLossConfig.from_cfg(cfg, nl=spec.nl), anchors, oc, spec,
+        nms_conf_thres=float(cfg.SSOD.nms_conf_thres),
+        nms_iou_thres=float(cfg.SSOD.nms_iou_thres),
+        max_pl=max_pl, multi_label=bool(cfg.SSOD.multi_label),
+        teacher_loss_weight=float(cfg.SSOD.teacher_loss_weight),
+        da_loss_weight=float(cfg.SSOD.da_loss_weights),
+        with_da_loss=bool(cfg.SSOD.with_da_loss),
+    )
+
+    rng = np.random.default_rng(0)
+    sup_images = jnp.asarray(
+        rng.integers(0, 255, (bs, img, img, 3), np.uint8))
+    labels = np.zeros((bs, m, 5), np.float32)
+    mask = np.zeros((bs, m), bool)
+    for bi in range(bs):
+        n = rng.integers(1, 20)
+        labels[bi, :n, 0] = rng.integers(0, 80, n)
+        labels[bi, :n, 1:3] = rng.uniform(0.2, 0.8, (n, 2))
+        labels[bi, :n, 3:5] = rng.uniform(0.05, 0.4, (n, 2))
+        mask[bi, :n] = True
+    labels, mask = jnp.asarray(labels), jnp.asarray(mask)
+    un_strong = jnp.asarray(
+        rng.integers(0, 255, (bu, img, img, 3), np.uint8))
+    un_weak = jnp.asarray(
+        rng.integers(0, 255, (bu, img, img, 3), np.uint8))
+    m_s = jnp.tile(
+        jnp.asarray([1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 1, 1], jnp.float32),
+        (bu, 1))
+    thr_high = jnp.full((80,), 0.6, jnp.float32)
+    thr_low = jnp.full((80,), 0.3, jnp.float32)
+    sched = Schedule.make(0.01, 0.01, 0.937, 2)
+    semi_decay = jnp.float32(0.9996)
+
+    for _ in range(3):  # compile + warm (tunnel first-loop bias, CLAUDE.md)
+        state, out = step(state, sup_images, labels, mask,
+                          un_strong, un_weak, m_s, thr_high, thr_low,
+                          sched, semi_decay)
+        float(out.metrics["total"])
+    iters = 15
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, out = step(state, sup_images, labels, mask,
+                          un_strong, un_weak, m_s, thr_high, thr_low,
+                          sched, semi_decay)
+    final = float(out.metrics["total"])
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(final)
+    aux["ssod_step_imgs_per_sec"] = round((bs + bu) / dt, 2)
+    aux["ssod_step_ms"] = round(dt * 1e3, 1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -262,6 +357,10 @@ def main():
             e2e_dev / imgs_per_sec, 3)
     except Exception as e:  # aux numbers must never break the contract line
         aux["error"] = f"{type(e).__name__}: {e}"
+    try:
+        _bench_ssod_step(aux)
+    except Exception as e:
+        aux["ssod_step_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip_yolov5l_b32_640",

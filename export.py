@@ -8,9 +8,10 @@ Formats:
                efficient->yolov5 direction; loadable from torch without jax)
   saved_model  TF SavedModel via jax2tf (CPU/TPU serving)
   tflite       TFLite flatbuffer via the TF converter
-  onnx         ONNX graph via jax2tf SavedModel -> tf2onnx (reference
-               export.py:78-94 export_onnx); dep-gated — needs
-               `pip install onnx tf2onnx` (absent in this image)
+  onnx         direct ONNX emission from the traced jaxpr (reference
+               export.py:78-94 export_onnx, deploy/model_convert.py:75-130)
+               — no onnx/tf2onnx dependency; RepVGG-fused, decode baked in,
+               verified against cv2.dnn in tests/test_onnx_export.py
 
 TensorRT/CoreML exporters from the reference matrix depend on GPU/macOS
 toolchains with no TPU analogue; TensorRT consumes the onnx output and
@@ -77,7 +78,7 @@ def main(opt):
 
     fused_vars, fused_spec = None, None
     if "deploy" in opt.include or "saved_model" in opt.include \
-            or "tflite" in opt.include:
+            or "tflite" in opt.include or "onnx" in opt.include:
         fp, fbs = fuse_repvgg_tree(
             jax.tree.map(np.asarray, variables["params"]),
             jax.tree.map(np.asarray, variables["batch_stats"]),
@@ -106,8 +107,30 @@ def main(opt):
         np.savez(out, **sd)
         LOGGER.info("torch state_dict (%d tensors) -> %s", len(sd), out)
 
-    if ("saved_model" in opt.include or "tflite" in opt.include
-            or "onnx" in opt.include):
+    if "onnx" in opt.include:
+        # Direct ONNX emission (reference deploy/model_convert.py:75-130
+        # export_onnx at opset 13) — the jaxpr translator needs no
+        # onnx/tf2onnx/torch packages. Input: NCHW float (pre-normalized),
+        # output: decoded (B, N, 5+nc), matching reference-exported graphs
+        # so eval/multi_backend.py's cv2.dnn branch loads either.
+        from efficientteacher_tpu.export import export_onnx
+
+        onnx_model = build_model(fused_spec, ssod=False, dtype=jnp.float32)
+
+        def onnx_fwd(x_nchw):
+            x = jnp.transpose(x_nchw, (0, 2, 3, 1))
+            decoded, _ = onnx_model.apply(fused_vars, x, train=False)
+            return decoded
+
+        x0 = jnp.zeros((opt.batch, 3, opt.img_size, opt.img_size),
+                       jnp.float32)
+        out = stem.with_suffix(".onnx")
+        export_onnx(onnx_fwd, (x0,), str(out), input_names=["images"],
+                    output_names=["output"], opset=opt.opset)
+        LOGGER.info("onnx (opset %d, direct jaxpr emission) -> %s",
+                    opt.opset, out)
+
+    if "saved_model" in opt.include or "tflite" in opt.include:
         import tensorflow as tf
         from jax.experimental import jax2tf
 
@@ -140,29 +163,6 @@ def main(opt):
             out = stem.with_suffix(".tflite")
             out.write_bytes(blob)
             LOGGER.info("tflite -> %s", out)
-        if "onnx" in opt.include:
-            # reference export_onnx (export.py:78-94): torch.onnx.export at
-            # opset 13; here the jax2tf graph goes through tf2onnx
-            try:
-                import tf2onnx
-            except ImportError as e:
-                raise SystemExit(
-                    "onnx export needs `pip install onnx tf2onnx` "
-                    "(not present in this image); the saved_model output "
-                    f"above is its input — convert offline with:\n"
-                    f"  python -m tf2onnx.convert --saved-model {sm_dir} "
-                    f"--output {stem}.onnx --opset {opt.opset} "
-                    f"--tag serve --concrete-function 0"
-                ) from e
-            out = stem.with_suffix(".onnx")
-            model_proto, _ = tf2onnx.convert.from_function(
-                tf_fn,
-                input_signature=[tf.TensorSpec(shape, tf.float32)],
-                opset=opt.opset,
-                output_path=str(out),
-            )
-            LOGGER.info("onnx (opset %d, %d nodes) -> %s", opt.opset,
-                        len(model_proto.graph.node), out)
 
 
 if __name__ == "__main__":
