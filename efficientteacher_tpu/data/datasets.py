@@ -298,8 +298,10 @@ class LoadImagesAndLabels:
             img = cv2.resize(
                 img,
                 (int(w0 * r), int(h0 * r)),
-                interpolation=cv2.INTER_LINEAR if (self.augment or r > 1)
-                else cv2.INTER_AREA,
+                # ALWAYS bilinear: this reference resizes eval downscales
+                # with INTER_LINEAR too (datasets.py:1213), unlike upstream
+                # ultralytics' INTER_AREA
+                interpolation=cv2.INTER_LINEAR,
             )
         out = (img, (h0, w0), img.shape[:2])
         if self.cache_images:
@@ -692,7 +694,7 @@ class RectBatchLoader(BatchLoader):
         from .augment import letterbox
 
         for bidx, (bh, bw) in zip(self.batches, self.batch_shapes):
-            imgs, labels, masks, shapes = [], [], [], []
+            imgs, labels, masks, shapes, ratio_pads = [], [], [], [], []
             for i in bidx:
                 img, (h0, w0), (h, w) = self.ds.load_image(i)
                 img, ratio, dwdh = letterbox(img, (bh, bw), auto=False,
@@ -705,11 +707,19 @@ class RectBatchLoader(BatchLoader):
                 labels.append(lab)
                 masks.append(m)
                 shapes.append((h0, w0))
+                # recorded native->canvas transform, exactly what the
+                # reference hands scale_coords as ratio_pad (datasets.py
+                # rect __getitem__ shapes = (h0,w0), ((h/h0, w/w0), pad);
+                # val.py:340): scale = pre-letterbox resize ratio, NOT the
+                # min-gain recomputation, which is wrong for loose rect
+                # canvases
+                ratio_pads.append(((h / h0, w / w0), dwdh))
             yield {
                 "images": np.stack(imgs),
                 "labels": np.stack(labels),
                 "mask": np.stack(masks),
                 "shapes": shapes,
+                "ratio_pad": ratio_pads,
                 "indices": bidx,
                 "paths": [self.ds.img_files[i] for i in bidx],
             }

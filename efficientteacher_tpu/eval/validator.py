@@ -26,14 +26,25 @@ from .metrics import ap_per_class, process_batch
 
 
 def _scale_to_native(boxes: np.ndarray, letterbox_hw: Tuple[int, int],
-                     native_hw: Tuple[int, int]) -> np.ndarray:
+                     native_hw: Tuple[int, int],
+                     ratio_pad=None) -> np.ndarray:
     """Undo letterbox: boxes xyxy in the square frame -> native pixels
-    (reference utils/general.py:702-718)."""
+    (reference utils/general.py:702-718 scale_coords).
+
+    When the loader recorded the actual transform, `ratio_pad` =
+    ((rh, rw), (dw, dh)) is used exactly like the reference's explicit
+    ratio_pad argument (gain = rh, val.py:340) — the min-gain recomputation
+    below is only correct for TIGHT letterboxes and over-scales boxes on
+    loose rect canvases."""
     lh, lw = letterbox_hw
     nh, nw = native_hw
-    gain = min(lh / nh, lw / nw)
-    padw = (lw - nw * gain) / 2
-    padh = (lh - nh * gain) / 2
+    if ratio_pad is not None:
+        gain = ratio_pad[0][0]
+        padw, padh = ratio_pad[1]
+    else:
+        gain = min(lh / nh, lw / nw)
+        padw = (lw - nw * gain) / 2
+        padh = (lh - nh * gain) / 2
     out = boxes.copy()
     out[:, [0, 2]] = (out[:, [0, 2]] - padw) / gain
     out[:, [1, 3]] = (out[:, [1, 3]] - padh) / gain
@@ -136,6 +147,8 @@ def run(
             lab = batch["labels"][bi][batch["mask"][bi]]  # (n, 5) cls+xywhn
             shapes = batch["shapes"][bi]
             native_hw = shapes if shapes is not None else (lh, lw)
+            rp = batch.get("ratio_pad")
+            rp = rp[bi] if rp is not None else None
             # labels: normalized xywh on the letterboxed frame -> native xyxy
             if len(lab):
                 lxyxy = np.zeros((len(lab), 5), np.float32)
@@ -144,12 +157,14 @@ def run(
                 lab[:, 3] * lw, lab[:, 4] * lh
                 lxyxy[:, 1], lxyxy[:, 2] = cx - w / 2, cy - h / 2
                 lxyxy[:, 3], lxyxy[:, 4] = cx + w / 2, cy + h / 2
-                lxyxy[:, 1:] = _scale_to_native(lxyxy[:, 1:], (lh, lw), native_hw)
+                lxyxy[:, 1:] = _scale_to_native(
+                    lxyxy[:, 1:], (lh, lw), native_hw, ratio_pad=rp)
             else:
                 lxyxy = np.zeros((0, 5), np.float32)
             if len(det):
                 det = det.copy()
-                det[:, :4] = _scale_to_native(det[:, :4], (lh, lw), native_hw)
+                det[:, :4] = _scale_to_native(
+                    det[:, :4], (lh, lw), native_hw, ratio_pad=rp)
             if cm is not None:
                 cm.process_batch(det, lxyxy)
             if save_json is not None and len(det):

@@ -146,6 +146,18 @@ _SEQ_RENAMES = {
 # as a direct param leaf named <name>
 _SCALE_LAYERS = ("scale_conv", "scale_1x1", "scale_identity")
 
+# module attributes whose names LITERALLY contain _<digit> in the reference
+# source (grep `self.\w+_\d+ =` over models/{backbone,neck,head}) — the
+# exporter must NOT split these into Sequential-style `.digit` indices the
+# way it inverts flax `m_0` -> torch `m.0`
+_LITERAL_UNDERSCORE = frozenset(
+    [f"ERBlock_{i}" for i in range(2, 6)]
+    + [f"c_{i}" for i in range(4)]
+    + [f"elan_{i}" for i in range(4)]
+    + [f"stage{s}_{i}" for s in range(2, 6) for i in (1, 2)]
+    + ["stem_1", "stem_3"]
+)
+
 
 def map_torch_name(key: str, ndim: int) -> Tuple[Tuple[str, ...], str, str]:
     """Reference torch name -> (flax path, leaf name, collection).
@@ -246,8 +258,10 @@ def export_to_torch_state_dict(params, batch_stats) -> Dict[str, np.ndarray]:
         parts = []
         for p in path[:-1]:
             p = inv_seq.get(p, p)
-            # m_0 -> m.0
-            if "_" in p and p.rsplit("_", 1)[-1].isdigit():
+            # m_0 -> m.0, EXCEPT reference modules literally named with
+            # underscores (stage2_1, ERBlock_5, elan_0, ...)
+            if ("_" in p and p.rsplit("_", 1)[-1].isdigit()
+                    and p not in _LITERAL_UNDERSCORE):
                 stem, idx = p.rsplit("_", 1)
                 parts.extend([stem, idx])
             else:
