@@ -196,6 +196,141 @@ def test_ssod_burn_in_with_da_loss(ssod_data, tmp_path):
     assert np.isfinite(t.meter.meters["d_loss"].avg)
 
 
+@pytest.fixture(scope="module")
+def ssod_margin_data(tmp_path_factory):
+    """Semi-supervised split where pseudo-labels add signal: 6 labeled
+    (oversampled x8 for steps/epoch), 24 unlabeled, 16 val."""
+    root = tmp_path_factory.mktemp("ssod_margin")
+    rng = np.random.default_rng(5)
+    for sub in ("images", "labels", "unlabeled", "val/images", "val/labels"):
+        (root / sub).mkdir(parents=True, exist_ok=True)
+
+    def draw():
+        img = np.full((140, 140, 3), 70, np.uint8)
+        rows = []
+        for _ in range(int(rng.integers(1, 3))):
+            cx, cy = rng.uniform(0.2, 0.8, 2)
+            bw, bh = rng.uniform(0.18, 0.4, 2)
+            cv2.rectangle(
+                img,
+                (int((cx - bw / 2) * 140), int((cy - bh / 2) * 140)),
+                (int((cx + bw / 2) * 140), int((cy + bh / 2) * 140)),
+                (40, 40, 230), -1)
+            rows.append(f"0 {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}")
+        return img, "\n".join(rows)
+
+    lab, unlab, val = [], [], []
+    for i in range(6):
+        img, rows = draw()
+        p = root / "images" / f"l{i}.jpg"
+        cv2.imwrite(str(p), img)
+        (root / "labels" / f"l{i}.txt").write_text(rows + "\n")
+        lab.append(str(p))
+    for i in range(24):
+        img, _ = draw()
+        p = root / "unlabeled" / f"u{i}.jpg"
+        cv2.imwrite(str(p), img)
+        unlab.append(str(p))
+    for i in range(16):
+        img, rows = draw()
+        p = root / "val" / "images" / f"v{i}.jpg"
+        cv2.imwrite(str(p), img)
+        (root / "val" / "labels" / f"v{i}.txt").write_text(rows + "\n")
+        val.append(str(p))
+    (root / "train_x8.txt").write_text("\n".join(lab * 8))
+    (root / "target.txt").write_text("\n".join(unlab))
+    (root / "val.txt").write_text("\n".join(val))
+    return root
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("device_aug", [False, True])
+def test_mean_teacher_improves_over_burn_in(ssod_margin_data, tmp_path,
+                                            device_aug):
+    """The north-star property (+1.45 mAP on COCO, BASELINE.md): the
+    mean-teacher phase must measurably improve the teacher over its own
+    burn-in — and the on-device augmentation path (VERDICT r2 Next #6)
+    must preserve that margin despite its strong-view AutoAugment/cutout
+    schedule trade (ops/augment_device.py docstring).
+
+    Calibrated margins: host-aug +0.120 mAP, device-aug +0.178 mAP
+    (burn 24 epochs/192 steps, ssod 40 epochs/160 steps, ema_rate 0.95
+    so the teacher tracks within the short run)."""
+    import jax.numpy as jnp
+
+    from efficientteacher_tpu.data.datasets import (
+        BatchLoader, LoadImagesAndLabels,
+    )
+    from efficientteacher_tpu.eval import validator
+
+    BURN, TOTAL = 24, 64
+    root = ssod_margin_data
+    cfg = get_cfg()
+    cfg.Model.Backbone.name = "YoloV5"
+    cfg.Model.Neck.name = "YoloV5"
+    cfg.Model.Head.name = "YoloV5"
+    cfg.Model.Neck.in_channels = [256, 512, 1024]
+    cfg.Model.Neck.out_channels = [256, 512, 1024]
+    cfg.Model.width_multiple = 0.125
+    cfg.Model.depth_multiple = 0.34
+    cfg.Loss.type = "ComputeLoss"
+    cfg.SSOD.train_domain = True
+    cfg.SSOD.nms_conf_thres = 0.25
+    cfg.SSOD.max_pseudo_labels = 16
+    cfg.SSOD.teacher_loss_weight = 1.0
+    cfg.SSOD.fixed_accumulate = True
+    cfg.SSOD.ema_rate = 0.95
+    cfg.hyp.burn_epochs = BURN
+    cfg.Dataset.train = str(root / "train_x8.txt")
+    cfg.Dataset.val = ""
+    cfg.Dataset.target = str(root / "target.txt")
+    cfg.Dataset.nc = 1
+    cfg.Dataset.img_size = 128
+    cfg.Dataset.batch_size = 6
+    cfg.Dataset.max_targets = 16
+    cfg.Dataset.device_aug = device_aug
+    cfg.epochs = TOTAL
+    cfg.hyp.warmup_epochs = 0
+    cfg.hyp.mosaic = 0.5
+    cfg.noval = True
+    cfg.nosave = True
+    cfg.project = str(tmp_path / "runs")
+    cfg.name = f"margin_{int(device_aug)}"
+    cfg.freeze()
+    trainer = SSODTrainer(cfg, compute_dtype=jnp.float32)
+
+    val_ds = LoadImagesAndLabels(str(root / "val.txt"), img_size=128, nc=1,
+                                 max_targets=16)
+    val_loader = BatchLoader(val_ds, 8, shuffle=False, drop_last=False)
+    scores = {}
+
+    def eval_teacher(tag):
+        src = (trainer.state.semi_ema if trainer.teacher_seeded
+               else trainer.state.ema)
+        res, _, _ = validator.run(
+            trainer.model,
+            {"params": src.params, "batch_stats": src.batch_stats},
+            val_loader, nc=1, compute_dtype=jnp.float32)
+        scores[tag] = res
+
+    def on_fit_epoch_end(metrics, epoch):
+        if epoch == BURN - 1:
+            eval_teacher("burn")
+        elif epoch == TOTAL - 1:
+            eval_teacher("final")
+
+    trainer.callbacks.register_action("on_fit_epoch_end",
+                                      callback=on_fit_epoch_end)
+    trainer.train()
+
+    b, f = scores["burn"], scores["final"]
+    assert b[2] > 0.2, f"burn-in teacher did not train: mAP50 {b[2]:.3f}"
+    margin = f[3] - b[3]
+    assert margin > 0.04, (
+        f"mean-teacher did not improve (device_aug={device_aug}): "
+        f"burn mAP {b[3]:.3f} -> final {f[3]:.3f} (margin {margin:+.3f})")
+
+
 def test_ssod_trainer_device_aug(ssod_data, tmp_path):
     """cfg.Dataset.device_aug: labeled aug AND the unlabeled weak/strong
     dual view + M_s record are produced on-device
