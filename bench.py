@@ -172,7 +172,10 @@ def _bench_ssod_step(aux):
     sched = Schedule.make(0.01, 0.01, 0.937, 2)
     semi_decay = jnp.float32(0.9996)
 
-    for _ in range(3):  # compile + warm (tunnel first-loop bias, CLAUDE.md)
+    for _ in range(8):  # compile + warm (tunnel first-loop bias, CLAUDE.md:
+        # the first timed loop in a process reads ~10x high unless ~8
+        # materialized iterations precede it — 3 warms recorded 209 ms for
+        # a step that steady-states at ~155 ms)
         state, out = step(state, sup_images, labels, mask,
                           un_strong, un_weak, m_s, thr_high, thr_low,
                           sched, semi_decay)
@@ -361,6 +364,21 @@ def main():
         _bench_ssod_step(aux)
     except Exception as e:
         aux["ssod_step_error"] = f"{type(e).__name__}: {e}"
+    try:
+        # native C++ decode+letterbox core (scaled-IDCT libjpeg), vs the
+        # cv2-based loader rates above
+        from efficientteacher_tpu.utils import native_loader as nl
+
+        if nl.available():
+            files = [ln.strip() for ln in
+                     open("/tmp/bench_data/train.txt")][:64]
+            nl.load_letterbox_batch(files[:8], img)  # warm
+            t0 = time.perf_counter()
+            _, _, _, ok = nl.load_letterbox_batch(files, img)
+            dt = time.perf_counter() - t0
+            aux["loader_native_imgs_per_sec"] = round(int(ok.sum()) / dt, 2)
+    except Exception as e:
+        aux["native_loader_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip_yolov5l_b32_640",

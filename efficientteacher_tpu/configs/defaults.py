@@ -186,6 +186,10 @@ _C.Dataset.loader = 'auto'
 # mosaic-4/perspective/HSV/flips run on-TPU (ops/augment_device.py). Lifts
 # the host pipeline bottleneck on low-core hosts.
 _C.Dataset.device_aug = False
+# C++ decode core (native/loader_core.cpp): scaled-IDCT JPEG decode +
+# fused resize, ~2x cv2 on big photos; off by default (prescaled decodes
+# differ sub-visibly from full-decode+resize, keep eval bit-parity)
+_C.Dataset.native_loader = False
 _C.Dataset.quad = False
 _C.Dataset.nc = 80
 _C.Dataset.np = 0               # number of keypoints per instance

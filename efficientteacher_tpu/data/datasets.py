@@ -173,6 +173,7 @@ class LoadImagesAndLabels:
         mosaic9_prob: float = 0.0,
         num_ids: int = 0,
         pseudo_ids: bool = False,
+        native_loader: bool = False,
     ):
         self.num_keypoints = num_keypoints
         self.img_size = img_size
@@ -184,6 +185,12 @@ class LoadImagesAndLabels:
         self.mosaic = augment and self.hyp.get("mosaic", 0) > 0
         self.rng = random.Random(seed)
         self.cache_images = cache_images
+        # opt-in C++ decode core (native/loader_core.cpp): scaled-IDCT
+        # JPEG decode + fused bilinear resize, ~2x the cv2 path on large
+        # photos. Bit-exact vs cv2 when no IDCT prescale kicks in (images
+        # < 2x target); prescaled decodes differ sub-visibly from
+        # full-decode+resize, so this is off by default for eval parity.
+        self.native_loader = bool(native_loader)
         self._img_cache: Dict[int, tuple] = {}
         # disk cache of resized images (reference cache='disk',
         # datasets.py:797-818): .npy per image next to cache_dir_images
@@ -291,7 +298,18 @@ class LoadImagesAndLabels:
                 img, h0, w0 = None, 0, 0
                 arr = np.load(npy, allow_pickle=True).item()
                 return arr["img"], arr["hw0"], arr["img"].shape[:2]
-        img = cv2.imread(self.img_files[i])
+        path = self.img_files[i]
+        if self.native_loader and path.lower().endswith((".jpg", ".jpeg")):
+            from ..utils import native_loader as _nl
+
+            out_n = _nl.load_image(path, self.img_size)
+            if out_n is not None:
+                img, (h0, w0) = out_n
+                out = (img, (h0, w0), img.shape[:2])
+                if self.cache_images:
+                    self._img_cache[i] = out
+                return out
+        img = cv2.imread(path)
         h0, w0 = img.shape[:2]
         r = self.img_size / max(h0, w0)
         if r != 1:
@@ -622,6 +640,7 @@ def create_dataloader(cfg, split: str = "train", augment: Optional[bool] = None,
         num_keypoints=int(cfg.Dataset.np),
         num_ids=int(cfg.Dataset.num_ids),
         pseudo_ids=bool(cfg.Dataset.pseudo_ids),
+        native_loader=bool(cfg.Dataset.native_loader),
     )
     if not augment and (cfg.Dataset.rect or cfg.rect):
         return RectBatchLoader(

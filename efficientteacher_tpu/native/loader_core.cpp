@@ -1,0 +1,238 @@
+// Native data-loader core: JPEG decode + bilinear letterbox, C ABI.
+//
+// TPU-native counterpart of the reference's host decode path
+// (reference utils/datasets.py:686-705 load_image: cv2.imread +
+// cv2.resize). Two advantages over the cv2 path:
+//   1. scaled IDCT decode: libjpeg can decode directly at 1/2, 1/4, 1/8
+//      scale inside the inverse DCT, so a 4000px photo headed for a
+//      640px canvas never materializes at full resolution;
+//   2. decode -> resize -> letterbox-pad runs in one pass into the
+//      caller's pinned batch buffer (no intermediate allocations), with
+//      an internal pthread pool for batch parallelism.
+//
+// Exposed via ctypes (efficientteacher_tpu/utils/native_loader.py);
+// built on demand by build.sh (g++ -O3 -shared, links system libjpeg).
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct ErrMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+
+void on_error(j_common_ptr cinfo) {
+  ErrMgr* err = reinterpret_cast<ErrMgr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+// Decode a JPEG file to RGB. Chooses the largest IDCT downscale
+// (denominator 1/2/4/8) that keeps both sides >= target so the later
+// bilinear resize only ever downscales by <2x (quality-neutral; the
+// reference resizes from full resolution with the same INTER_LINEAR).
+bool decode_jpeg(const char* path, int target, std::vector<uint8_t>& rgb,
+                 int* full_w, int* full_h, int* out_w, int* out_h) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = on_error;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  *full_w = static_cast<int>(cinfo.image_width);
+  *full_h = static_cast<int>(cinfo.image_height);
+  int denom = 1;
+  if (target > 0) {
+    while (denom < 8 && (*full_w / (denom * 2)) >= target &&
+           (*full_h / (denom * 2)) >= target) {
+      denom *= 2;
+    }
+  }
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = static_cast<unsigned>(denom);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *out_w = static_cast<int>(cinfo.output_width);
+  *out_h = static_cast<int>(cinfo.output_height);
+  rgb.resize(static_cast<size_t>(*out_w) * *out_h * 3);
+  JSAMPROW row;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    row = rgb.data() + static_cast<size_t>(cinfo.output_scanline) * *out_w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return true;
+}
+
+// Bilinear resize (cv2.INTER_LINEAR half-pixel-center convention) of the
+// libjpeg RGB buffer into a sub-rectangle of the canvas, emitting BGR to
+// match cv2.imread (the whole augment pipeline is BGR until the final
+// flip at collate, data/datasets.py:429).
+void resize_into(const uint8_t* src, int sw, int sh, uint8_t* dst,
+                 int dstride_px, int dw, int dh) {
+  const float sx = static_cast<float>(sw) / dw;
+  const float sy = static_cast<float>(sh) / dh;
+  std::vector<int> x0s(dw), x1s(dw);
+  std::vector<float> fxs(dw);
+  for (int x = 0; x < dw; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    int x0 = static_cast<int>(std::floor(fx));
+    float t = fx - x0;
+    if (x0 < 0) { x0 = 0; t = 0.f; }
+    int x1 = std::min(x0 + 1, sw - 1);
+    x0 = std::min(x0, sw - 1);
+    x0s[x] = x0; x1s[x] = x1; fxs[x] = t;
+  }
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = static_cast<int>(std::floor(fy));
+    float ty = fy - y0;
+    if (y0 < 0) { y0 = 0; ty = 0.f; }
+    int y1 = std::min(y0 + 1, sh - 1);
+    y0 = std::min(y0, sh - 1);
+    const uint8_t* r0 = src + static_cast<size_t>(y0) * sw * 3;
+    const uint8_t* r1 = src + static_cast<size_t>(y1) * sw * 3;
+    uint8_t* out = dst + static_cast<size_t>(y) * dstride_px * 3;
+    for (int x = 0; x < dw; ++x) {
+      const int a = x0s[x] * 3, b = x1s[x] * 3;
+      const float tx = fxs[x];
+      for (int c = 0; c < 3; ++c) {
+        float top = r0[a + c] + tx * (r0[b + c] - r0[a + c]);
+        float bot = r1[a + c] + tx * (r1[b + c] - r1[a + c]);
+        float v = top + ty * (bot - top);
+        out[x * 3 + (2 - c)] = static_cast<uint8_t>(v + 0.5f);  // RGB->BGR
+      }
+    }
+  }
+}
+
+struct Job {
+  const char* path;
+  uint8_t* out;      // (img_size, img_size, 3) slot
+  int img_size;
+  int pad_value;
+  int* hw0;          // [h0, w0]
+  float* ratio_pad;  // [rh, rw, dw, dh]
+  int* ok;
+};
+
+void run_job(const Job& j) {
+  std::vector<uint8_t> rgb;
+  int fw = 0, fh = 0, dw_ = 0, dh_ = 0;
+  // target for the IDCT prescale: the longer output side
+  if (!decode_jpeg(j.path, j.img_size, rgb, &fw, &fh, &dw_, &dh_)) {
+    *j.ok = 0;
+    return;
+  }
+  j.hw0[0] = fh;
+  j.hw0[1] = fw;
+  // letterbox convention: round() on double, like data/augment.py:48
+  const double gain = std::min(static_cast<double>(j.img_size) / fw,
+                               static_cast<double>(j.img_size) / fh);
+  const int new_w = std::max(1, static_cast<int>(std::lround(fw * gain)));
+  const int new_h = std::max(1, static_cast<int>(std::lround(fh * gain)));
+  const int pad_x = (j.img_size - new_w) / 2;
+  const int pad_y = (j.img_size - new_h) / 2;
+  std::memset(j.out, j.pad_value,
+              static_cast<size_t>(j.img_size) * j.img_size * 3);
+  uint8_t* dst = j.out +
+      (static_cast<size_t>(pad_y) * j.img_size + pad_x) * 3;
+  resize_into(rgb.data(), dw_, dh_, dst, j.img_size, new_w, new_h);
+  // recorded native->canvas transform, same contract as the rect loader's
+  // ratio_pad (validator scale_coords input)
+  j.ratio_pad[0] = static_cast<float>(new_h) / fh;
+  j.ratio_pad[1] = static_cast<float>(new_w) / fw;
+  j.ratio_pad[2] = static_cast<float>(pad_x);
+  j.ratio_pad[3] = static_cast<float>(pad_y);
+  *j.ok = 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode + letterbox a batch of JPEGs into out (n, img_size, img_size, 3)
+// RGB u8. hw0: (n, 2) native dims; ratio_pad: (n, 4) [rh, rw, dw, dh];
+// ok: (n,) per-image success. Returns number of successfully loaded images.
+int et_load_letterbox_batch(const char** paths, int n, uint8_t* out,
+                            int img_size, int pad_value, int* hw0,
+                            float* ratio_pad, int* ok, int threads) {
+  std::vector<Job> jobs(n);
+  for (int i = 0; i < n; ++i) {
+    jobs[i] = Job{
+        paths[i],
+        out + static_cast<size_t>(i) * img_size * img_size * 3,
+        img_size,
+        pad_value,
+        hw0 + 2 * i,
+        ratio_pad + 4 * i,
+        ok + i,
+    };
+  }
+  if (threads <= 1 || n <= 1) {
+    for (auto& j : jobs) run_job(j);
+  } else {
+    std::atomic<int> next{0};
+    auto worker = [&]() {
+      for (;;) {
+        int i = next.fetch_add(1);
+        if (i >= n) return;
+        run_job(jobs[i]);
+      }
+    };
+    const int t = std::min(threads, n);
+    std::vector<std::thread> pool;
+    pool.reserve(t);
+    for (int i = 0; i < t; ++i) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  int good = 0;
+  for (int i = 0; i < n; ++i) good += ok[i];
+  return good;
+}
+
+// Single-image decode to the caller's buffer at the post-resize size the
+// reference's load_image produces (longer side == img_size). Returns 0 on
+// failure; on success fills out (resized_h, resized_w) and native dims.
+int et_load_image(const char* path, uint8_t* out, int img_size,
+                  int* h0w0, int* hw) {
+  std::vector<uint8_t> rgb;
+  int fw = 0, fh = 0, dw_ = 0, dh_ = 0;
+  if (!decode_jpeg(path, img_size, rgb, &fw, &fh, &dw_, &dh_)) return 0;
+  h0w0[0] = fh;
+  h0w0[1] = fw;
+  // load_image convention: int() TRUNCATION on double, like
+  // data/datasets.py load_image `int(w0 * r)` (reference datasets.py:1213)
+  const double r = static_cast<double>(img_size) / std::max(fw, fh);
+  const int new_w = std::max(1, static_cast<int>(fw * r));
+  const int new_h = std::max(1, static_cast<int>(fh * r));
+  hw[0] = new_h;
+  hw[1] = new_w;
+  resize_into(rgb.data(), dw_, dh_, out, new_w, new_w, new_h);
+  return 1;
+}
+
+}  // extern "C"

@@ -28,7 +28,9 @@ from ..losses.yolov5_loss import YoloV5LossConfig, compute_loss
 from ..ssod.pseudo_label import create_pseudo_labels, create_pseudo_labels_multi
 from .optim import OptimizerConfig
 from .supervised import Schedule
-from .train_state import EMAState, TrainState, ema_update, init_ema, sgd_update
+from .train_state import (
+    EMAState, TrainState, apply_gradients_accumulating, init_ema,
+)
 
 
 @struct.dataclass
@@ -186,40 +188,15 @@ def make_ssod_train_step(
             loss_fn, has_aux=True
         )(state.params)
 
-        # 6. accumulate/step + EMA chain
-        acc_grads = jax.tree.map(
-            lambda a, g: a + g.astype(jnp.float32), state.acc_grads, grads
-        )
-        acc_count = state.acc_count + 1
-        do_step = acc_count >= sched.accumulate
-
-        def take_step(_):
-            new_params, new_opt = sgd_update(
-                state.params, acc_grads, state.opt, opt_cfg,
-                sched.lr_bias, sched.lr_rest, sched.momentum,
-            )
-            new_ema = ema_update(
-                state.ema, new_params, new_bs, sched.ema_decay, ramp=True
-            )
-            new_semi = ema_update(
-                state.semi_ema, new_ema.params, new_ema.batch_stats,
-                semi_decay, ramp=False,
-            )
-            zeros = jax.tree.map(jnp.zeros_like, acc_grads)
-            return (new_params, new_opt, new_ema, new_semi, zeros,
-                    jnp.zeros((), jnp.int32))
-
-        def hold(_):
-            return (state.params, state.opt, state.ema, state.semi_ema,
-                    acc_grads, acc_count)
-
-        new_params, new_opt, new_ema, new_semi, new_acc, new_count = (
-            jax.lax.cond(do_step, take_step, hold, operand=None)
-        )
-        new_state = state.replace(
-            params=new_params, batch_stats=new_bs, opt=new_opt, ema=new_ema,
-            semi_ema=new_semi, acc_grads=new_acc, acc_count=new_count,
-            step=state.step + 1,
+        # 6. accumulate/step + EMA chain (ema ramped from the new student,
+        # semi_ema constant-decay from the new ema — reference
+        # ssod_trainer.py:458-488), as ONE fused flat update
+        new_state = apply_gradients_accumulating(
+            state, grads, opt_cfg,
+            lr_bias=sched.lr_bias, lr_rest=sched.lr_rest,
+            momentum=sched.momentum, accumulate=sched.accumulate,
+            ema_decay=sched.ema_decay, new_batch_stats=new_bs,
+            semi_decay=semi_decay,
         )
         out = SSODBatchOut(
             metrics=parts,
@@ -281,33 +258,13 @@ def make_burn_in_train_step(
         (_, (parts, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        acc_grads = jax.tree.map(
-            lambda a, g: a + g.astype(jnp.float32), state.acc_grads, grads
-        )
-        acc_count = state.acc_count + 1
-        do_step = acc_count >= sched.accumulate
-
-        def take_step(_):
-            new_params, new_opt = sgd_update(
-                state.params, acc_grads, state.opt, opt_cfg,
-                sched.lr_bias, sched.lr_rest, sched.momentum,
-            )
-            new_ema = ema_update(
-                state.ema, new_params, new_bs, sched.ema_decay, ramp=True
-            )
-            zeros = jax.tree.map(jnp.zeros_like, acc_grads)
-            return (new_params, new_opt, new_ema, zeros,
-                    jnp.zeros((), jnp.int32))
-
-        def hold(_):
-            return (state.params, state.opt, state.ema, acc_grads, acc_count)
-
-        new_params, new_opt, new_ema, new_acc, new_count = jax.lax.cond(
-            do_step, take_step, hold, operand=None
-        )
-        new_state = state.replace(
-            params=new_params, batch_stats=new_bs, opt=new_opt, ema=new_ema,
-            acc_grads=new_acc, acc_count=new_count, step=state.step + 1,
+        # fused flat accumulate/SGD/EMA (semi_ema untouched during burn-in;
+        # it is seeded from the EMA at burn-in end, ssod_trainer.py:305-316)
+        new_state = apply_gradients_accumulating(
+            state, grads, opt_cfg,
+            lr_bias=sched.lr_bias, lr_rest=sched.lr_rest,
+            momentum=sched.momentum, accumulate=sched.accumulate,
+            ema_decay=sched.ema_decay, new_batch_stats=new_bs,
         )
         return new_state, parts
 

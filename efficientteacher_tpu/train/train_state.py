@@ -103,7 +103,7 @@ def create_train_state(params, batch_stats, oc: OptimizerConfig,
     )
 
 
-def apply_gradients_accumulating(
+def apply_gradients_accumulating_tree(
     state: TrainState,
     grads,
     oc: OptimizerConfig,
@@ -115,8 +115,9 @@ def apply_gradients_accumulating(
     ema_decay,
     new_batch_stats,
 ):
-    """Accumulate grads; fire a (mean-reduced) optimizer + EMA step every
-    `accumulate` micro-steps. All schedule inputs are traced scalars.
+    """Pytree-map formulation (one kernel per leaf per op). Kept as the
+    AdamW path and as the reference implementation the flat fast path is
+    tested against; SGD callers use `apply_gradients_accumulating`.
     Mirrors reference update_optimizer (trainer.py:381-404)."""
     acc_grads = jax.tree.map(
         lambda a, g: a + g.astype(jnp.float32), state.acc_grads, grads
@@ -153,4 +154,129 @@ def apply_gradients_accumulating(
         acc_grads=new_acc,
         acc_count=new_count,
         step=state.step + 1,
+    )
+
+
+def apply_gradients_accumulating(
+    state: TrainState,
+    grads,
+    oc: OptimizerConfig,
+    *,
+    lr_bias,
+    lr_rest,
+    momentum,
+    accumulate,
+    ema_decay,
+    new_batch_stats,
+    semi_decay=None,
+):
+    """Accumulate grads; fire an optimizer + EMA(-chain) step every
+    `accumulate` micro-steps. All schedule inputs are traced scalars.
+
+    Fused fast path: the full accumulate/SGD/EMA(/semi-EMA) chain runs as
+    ONE fused element-wise pass per leaf (`where(flag)` selects instead of
+    lax.cond, so hold steps cost the same single bandwidth pass and no
+    branch copies) — element-wise identical math to the tree formulation
+    (tests/test_flat_optim.py proves equality). With `semi_decay` set and
+    an SSOD state, also advances the semi_ema teacher chain (reference
+    ssod_trainer.py:458-488: ema.update(student); semi_ema.update(ema))."""
+    if oc.adam:
+        assert semi_decay is None, "adam + semi_ema chain not wired"
+        return apply_gradients_accumulating_tree(
+            state, grads, oc, lr_bias=lr_bias, lr_rest=lr_rest,
+            momentum=momentum, accumulate=accumulate, ema_decay=ema_decay,
+            new_batch_stats=new_batch_stats,
+        )
+
+    from .optim import param_group_label
+
+    has_ema = state.ema is not None
+    semi = getattr(state, "semi_ema", None)
+    has_semi = semi_decay is not None and semi is not None
+
+    acc_count = state.acc_count + 1
+    do_step = acc_count >= accumulate
+    flag = do_step.astype(jnp.float32) if hasattr(do_step, "astype") \
+        else jnp.float32(do_step)
+
+    # scalar chain (updates counters advance only when the step fires)
+    e_updates = (state.ema.updates + do_step.astype(jnp.int32)) \
+        if has_ema else None
+    if has_ema:
+        d_ema = ema_decay * (
+            1.0 - jnp.exp(-e_updates.astype(jnp.float32) / 2000.0))
+    s_updates = (semi.updates + do_step.astype(jnp.int32)) \
+        if has_semi else None
+
+    labels = jax.tree_util.tree_map_with_path(param_group_label, state.params)
+
+    def leaf_update(label, p, g, buf, acc, ep, sep):
+        """Whole per-leaf chain in one fused pass; `where(flag)` replaces
+        lax.cond so hold steps cost the same single bandwidth pass and no
+        branch copies."""
+        acc_new = acc + g.astype(jnp.float32)
+        p32 = p.astype(jnp.float32)
+        wd = oc.weight_decay if label == "weight" else 0.0
+        lr = lr_bias if label == "bias" else lr_rest
+        dg = acc_new + wd * p32
+        buf_step = momentum * buf + dg
+        p_step = p32 - lr * (dg + momentum * buf_step)
+        new_p = jnp.where(flag > 0, p_step, p32)
+        new_buf = jnp.where(flag > 0, buf_step, buf)
+        new_acc = acc_new * (1.0 - flag)
+        outs = [new_p.astype(p.dtype), new_buf, new_acc]
+        if has_ema:
+            ep_step = ep * d_ema + (1.0 - d_ema) * new_p
+            new_ep = jnp.where(flag > 0, ep_step, ep)
+            outs.append(new_ep)
+            if has_semi:
+                sep_step = sep * semi_decay + (1.0 - semi_decay) * new_ep
+                outs.append(jnp.where(flag > 0, sep_step, sep))
+        return tuple(outs)
+
+    zeros = jax.tree.map(lambda p: 0.0, state.params)  # placeholder leaves
+    ep_tree = state.ema.params if has_ema else zeros
+    sep_tree = semi.params if has_semi else zeros
+    fused = jax.tree.map(
+        leaf_update, labels, state.params, grads, state.opt.momentum_buf,
+        state.acc_grads, ep_tree, sep_tree,
+    )
+    pick = lambda i: jax.tree.map(
+        lambda t: t[i], fused, is_leaf=lambda t: isinstance(t, tuple))
+    new_params, new_buf, new_acc = pick(0), pick(1), pick(2)
+
+    new_ema = None
+    kwargs = {}
+    if has_ema:
+        new_ep = pick(3)
+
+        def stat_update(e, s):
+            blended = e * d_ema + (1.0 - d_ema) * s.astype(jnp.float32)
+            return jnp.where(flag > 0, blended, e)
+
+        new_ebs = jax.tree.map(stat_update, state.ema.batch_stats,
+                               new_batch_stats)
+        new_ema = EMAState(params=new_ep, batch_stats=new_ebs,
+                           updates=e_updates)
+        if has_semi:
+            new_sep = pick(4)
+
+            def semi_stat(se, e):
+                blended = se * semi_decay + (1.0 - semi_decay) * e
+                return jnp.where(flag > 0, blended, se)
+
+            new_sebs = jax.tree.map(semi_stat, semi.batch_stats, new_ebs)
+            kwargs["semi_ema"] = EMAState(
+                params=new_sep, batch_stats=new_sebs, updates=s_updates)
+
+    return state.replace(
+        params=new_params,
+        batch_stats=new_batch_stats,
+        opt=SGDState(momentum_buf=new_buf,
+                     step=state.opt.step + do_step.astype(jnp.int32)),
+        ema=new_ema,
+        acc_grads=new_acc,
+        acc_count=jnp.where(do_step, 0, acc_count).astype(jnp.int32),
+        step=state.step + 1,
+        **kwargs,
     )

@@ -1,0 +1,123 @@
+"""Native C++ loader core (native/loader_core.cpp via ctypes): decode
+parity vs the cv2 path, letterbox geometry, and dataset integration.
+
+Replaces the reference's cv2.imread+cv2.resize decode route
+(reference utils/datasets.py:686-705) with scaled-IDCT libjpeg decode +
+fused bilinear resize. For images under 2x the target no IDCT prescale
+triggers and the output must be BIT-EXACT vs cv2; prescaled decodes may
+differ sub-visibly.
+"""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from efficientteacher_tpu.utils import native_loader as nl  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not nl.available(), reason="native loader not built (g++/libjpeg)")
+
+
+@pytest.fixture(scope="module")
+def jpegs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("nl")
+    rng = np.random.default_rng(0)
+    sizes = [(480, 640), (1080, 1920), (427, 640), (2000, 3000), (96, 128)]
+    paths = []
+    for i, (h, w) in enumerate(sizes):
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        img = cv2.GaussianBlur(img, (7, 7), 3)
+        p = str(root / f"t{i}.jpg")
+        cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+        paths.append(p)
+    return paths, sizes
+
+
+def test_load_image_bit_parity_no_prescale(jpegs):
+    paths, sizes = jpegs
+    for p, (h, w) in zip(paths, sizes):
+        if max(h, w) >= 2 * 640:
+            continue  # prescale case covered below
+        out = nl.load_image(p, 640)
+        assert out is not None
+        img_n, (h0, w0) = out
+        bgr = cv2.imread(p)
+        assert (h0, w0) == bgr.shape[:2]
+        r = 640 / max(h0, w0)
+        if r != 1:
+            ref = cv2.resize(bgr, (int(w0 * r), int(h0 * r)),
+                             interpolation=cv2.INTER_LINEAR)
+        else:
+            ref = bgr
+        assert img_n.shape == ref.shape
+        if max(h, w) >= 640:
+            # identity/downscale: bit-exact vs cv2
+            np.testing.assert_array_equal(img_n, ref)
+        else:
+            # upscale: cv2's 11-bit fixed-point bilinear rounds +-1 LSB
+            # differently from exact float math
+            d = np.abs(img_n.astype(int) - ref.astype(int))
+            assert d.max() <= 1
+
+
+def test_load_image_prescale_close(jpegs):
+    paths, sizes = jpegs
+    p = paths[3]  # 2000x3000 -> IDCT 1/2 prescale
+    img_n, (h0, w0) = nl.load_image(p, 640)
+    assert (h0, w0) == (2000, 3000)
+    bgr = cv2.imread(p)
+    r = 640 / 3000
+    ref = cv2.resize(bgr, (int(3000 * r), int(2000 * r)),
+                     interpolation=cv2.INTER_LINEAR)
+    assert img_n.shape == ref.shape
+    d = np.abs(img_n.astype(int) - ref.astype(int))
+    assert d.mean() < 3.0, f"prescale drift too large: mean|d|={d.mean():.2f}"
+
+
+def test_batch_letterbox_geometry(jpegs):
+    paths, sizes = jpegs
+    imgs, hw0, rp, ok = nl.load_letterbox_batch(paths, 640, pad_value=114)
+    assert ok.all()
+    assert imgs.shape == (len(paths), 640, 640, 3)
+    np.testing.assert_array_equal(hw0, np.asarray(sizes))
+    for i, (h, w) in enumerate(sizes):
+        gain = min(640 / h, 640 / w)
+        new_h, new_w = round(h * gain), round(w * gain)
+        rh, rw, dw, dh = rp[i]
+        assert abs(rh - new_h / h) < 1e-6
+        assert abs(rw - new_w / w) < 1e-6
+        assert dw == (640 - new_w) // 2 and dh == (640 - new_h) // 2
+        # padding rows really are pad_value
+        if dh > 0:
+            assert (imgs[i, : int(dh)] == 114).all()
+        if dw > 0:
+            assert (imgs[i, :, : int(dw)] == 114).all()
+
+
+def test_dataset_native_path_matches_cv2(jpegs, tmp_path):
+    from efficientteacher_tpu.data.datasets import LoadImagesAndLabels
+
+    paths, sizes = jpegs
+    lab_dir = tmp_path / "labels"
+    img_dir = tmp_path / "images"
+    lab_dir.mkdir()
+    img_dir.mkdir()
+    import shutil
+    listed = []
+    for i, p in enumerate(paths[:3]):
+        dst = img_dir / f"i{i}.jpg"
+        shutil.copy(p, dst)
+        (lab_dir / f"i{i}.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+        listed.append(str(dst))
+    lst = tmp_path / "l.txt"
+    lst.write_text("\n".join(listed))
+
+    ds_cv = LoadImagesAndLabels(str(lst), img_size=640, nc=1, max_targets=8)
+    ds_nl = LoadImagesAndLabels(str(lst), img_size=640, nc=1, max_targets=8,
+                                native_loader=True)
+    for i in range(3):
+        img_c, hw0_c, hw_c = ds_cv.load_image(i)
+        img_n, hw0_n, hw_n = ds_nl.load_image(i)
+        assert hw0_c == hw0_n and hw_c == hw_n
+        np.testing.assert_array_equal(img_c, img_n)
