@@ -37,6 +37,11 @@ _C.evolve = False
 _C.noval = False
 _C.nosave = False
 _C.sync_bn = False
+# GSPMD spatial partitioning factor (TPU extension, no reference key):
+# shard image H over an `sp` mesh axis in addition to dp (devices =
+# dp * sp; parallel/mesh.py make_mesh_2d). Use when per-chip batch is
+# small; needs img_size/32/sp >= 2.
+_C.sp = 1
 _C.resume = False
 _C.exist_ok = False
 _C.linear_lr = False

@@ -10,6 +10,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.pool import max_pool_strided
 from ..spec import ModelSpec
 
 
@@ -65,8 +66,7 @@ class ResNet50BackBone(nn.Module):
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
         x = _BNConv(64, 7, 2, name="stem", **kw)(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2),
-                        padding=[(1, 1), (1, 1)])
+        x = max_pool_strided(x, 3, 2)
         outs = []
         for li, (planes, blocks, stride) in enumerate(
             [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)]

@@ -243,9 +243,11 @@ class BottleneckCSP(nn.Module):
 
 
 def _max_pool_same(x, k: int):
-    return nn.max_pool(
-        x, (k, k), strides=(1, 1), padding=[(k // 2, k // 2), (k // 2, k // 2)]
-    )
+    # custom-VJP pool: select-and-scatter (XLA's maxpool grad) is both
+    # slow on TPU and wrong under GSPMD spatial sharding (ops/pool.py)
+    from ..ops.pool import max_pool_same
+
+    return max_pool_same(x, k)
 
 
 class SPPF(nn.Module):
@@ -391,7 +393,9 @@ class RepBlock(nn.Module):
 
 def max_pool_2x(x):
     """2x2/2 max pool (reference MP, common.py:1191)."""
-    return nn.max_pool(x, (2, 2), strides=(2, 2))
+    from ..ops.pool import max_pool_2x2
+
+    return max_pool_2x2(x)
 
 
 class AUG(nn.Module):

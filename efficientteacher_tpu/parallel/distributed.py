@@ -101,14 +101,23 @@ def to_host(x) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
-def make_global_batch(mesh, tree: Any, axis: str = "dp") -> Any:
-    """Local per-host batch shards -> global dp-sharded jax.Arrays."""
-    s = NamedSharding(mesh, P(axis))
+def make_global_batch(mesh, tree: Any, axis: str = "dp",
+                      specs: Any = None) -> Any:
+    """Local per-host batch shards -> global dp-sharded jax.Arrays.
+
+    `specs` optionally overrides the PartitionSpec per leaf — a flat list
+    in `jax.tree.leaves(tree)` order (PartitionSpec is a tuple subclass,
+    so it cannot ride inside a mapped tree), e.g. [P("dp", "sp"),
+    P("dp"), P("dp")] for (images, labels, mask) on a spatial mesh."""
+    leaves, treedef = jax.tree.flatten(tree)
+    if specs is None:
+        specs = [P(axis)] * len(leaves)
+    assert len(specs) == len(leaves), "one PartitionSpec per leaf"
     if jax.process_count() == 1:
-        return jax.tree.map(lambda x: jax.device_put(x, s), tree)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(
-            s, np.asarray(x)
-        ),
-        tree,
-    )
+        out = [jax.device_put(x, NamedSharding(mesh, sp))
+               for x, sp in zip(leaves, specs)]
+    else:
+        out = [jax.make_array_from_process_local_data(
+                   NamedSharding(mesh, sp), np.asarray(x))
+               for x, sp in zip(leaves, specs)]
+    return jax.tree.unflatten(treedef, out)

@@ -43,3 +43,64 @@ def shard_batch(mesh: Mesh, tree: Any, axis: str = "dp") -> Any:
 def replicate(mesh: Mesh, tree: Any) -> Any:
     r = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)
+
+
+# ---------------------------------------------------------------------------
+# 2-D dp x sp mesh: data parallelism + GSPMD spatial partitioning.
+#
+# When the per-chip batch is too small to fill the MXU (large images, huge
+# models, or more chips than batch), shard the image HEIGHT axis across an
+# `sp` mesh axis as well: params stay replicated, every conv becomes a
+# spatially-partitioned conv and XLA inserts the halo exchanges
+# (collective-permutes of kernel_h-1 boundary rows over ICI) automatically.
+# This is pure GSPMD — no manual shard_map/ppermute halo code — and is the
+# TPU answer to scaling past dp (the reference has no analogue; its DDP
+# replicates whole batches, train.py:52-59).
+#
+# Semantics: identical math to dp-only. BN reduces over (N, H, W) — a sum
+# sharded over H is still the global sum; loss/assigner lattices operate on
+# feature maps whose H is sharded the same way. Verified numerically vs the
+# single-device step in tests/test_spatial_mesh.py.
+# ---------------------------------------------------------------------------
+
+
+def make_mesh_2d(dp: Optional[int] = None, sp: int = 1,
+                 axes=("dp", "sp")) -> Mesh:
+    """A (dp, sp) mesh over the first dp*sp visible devices. `dp=None`
+    uses all devices / sp."""
+    devs = jax.devices()
+    if dp is None:
+        dp = len(devs) // sp
+    n = dp * sp
+    if n > len(devs):
+        raise ValueError(f"mesh {dp}x{sp} needs {n} devices, "
+                         f"have {len(devs)}")
+    return Mesh(np.array(devs[:n]).reshape(dp, sp), axes)
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC images: batch over dp, height over sp (replicated on a 1-D
+    mesh)."""
+    if "sp" in mesh.axis_names and mesh.shape.get("sp", 1) > 1:
+        return NamedSharding(mesh, P("dp", "sp"))
+    return NamedSharding(mesh, P("dp"))
+
+
+def shard_images(mesh: Mesh, images: Any, max_stride: int = 32) -> Any:
+    """Place an NHWC image batch with N over dp and H over sp.
+
+    Warns when the deepest feature map (H / max_stride) would have fewer
+    than 2 rows per sp shard: GSPMD's windowed-op halo exchange degrades
+    when the halo exceeds the shard (measured: exact at >=2 rows/shard,
+    diverges at 1 — tests/test_spatial_mesh.py)."""
+    sp = mesh.shape.get("sp", 1)
+    h = images.shape[1]
+    if sp > 1 and h // max_stride // sp < 2:
+        import warnings
+
+        warnings.warn(
+            f"spatial sharding sp={sp} leaves {h // max_stride // sp} "
+            f"row(s) per shard at stride {max_stride}; need >=2 for "
+            f"numerically-safe halo exchange (img {h}px). Reduce sp or "
+            "raise img_size.", stacklevel=2)
+    return jax.device_put(images, image_sharding(mesh))

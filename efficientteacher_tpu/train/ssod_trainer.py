@@ -223,9 +223,15 @@ class SSODTrainer(Trainer):
         if self.mesh is None or any(a.shape[0] % n for a in arrays):
             out = tuple(jnp.asarray(a) for a in arrays)
         else:
-            from ..parallel.distributed import make_global_batch
+            from jax.sharding import PartitionSpec as P
 
-            out = make_global_batch(self.mesh, tuple(arrays))
+            from ..parallel.distributed import make_global_batch
+            from ..parallel.mesh import image_sharding
+
+            # NHWC leaves additionally shard H over sp when cfg.sp > 1
+            img_spec = image_sharding(self.mesh).spec
+            specs = [img_spec if a.ndim == 4 else P("dp") for a in arrays]
+            out = make_global_batch(self.mesh, tuple(arrays), specs=specs)
         return out if len(out) > 1 else out[0]
 
     def _train_burn_in(self):

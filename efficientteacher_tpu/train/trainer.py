@@ -27,6 +27,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from ..configs import CfgNode
 from ..data.datasets import create_dataloader
@@ -36,7 +37,7 @@ from ..losses.yolov5_loss import YoloV5LossConfig
 from ..models import build_model
 from ..models.spec import spec_from_cfg
 from ..parallel.distributed import is_main_process, make_global_batch
-from ..parallel.mesh import make_mesh, replicate
+from ..parallel.mesh import image_sharding, make_mesh, make_mesh_2d, replicate
 from ..utils.callbacks import Callbacks
 from ..utils.checkpoint import (
     intersect_trees,
@@ -93,7 +94,18 @@ class Trainer:
         self.save_period = cfg.save_period
         self.results_csv = self.save_dir / "results.csv"
         self.n_devices = len(jax.devices())
-        self.mesh = make_mesh(self.n_devices) if self.n_devices > 1 else None
+        # cfg.sp > 1: dp x sp mesh, image H sharded over sp (GSPMD spatial
+        # partitioning, parallel/mesh.py) — otherwise plain dp
+        self.sp = max(int(getattr(cfg, "sp", 1) or 1), 1)
+        if self.sp > 1 and self.n_devices % self.sp:
+            raise ValueError(
+                f"cfg.sp={self.sp} must divide device count "
+                f"{self.n_devices}")
+        if self.n_devices > 1:
+            self.mesh = (make_mesh_2d(self.n_devices // self.sp, self.sp)
+                         if self.sp > 1 else make_mesh(self.n_devices))
+        else:
+            self.mesh = None
         # loggers registered on the callbacks bus (reference trainer.py:281)
         self.loggers = None
         if self.is_main:
@@ -423,6 +435,8 @@ class Trainer:
                 images, labels, mask = make_global_batch(
                     self.mesh,
                     (batch["images"], batch["labels"], batch["mask"]),
+                    specs=[image_sharding(self.mesh).spec,
+                           P("dp"), P("dp")],
                 )
             else:
                 images = jnp.asarray(batch["images"])
