@@ -32,7 +32,6 @@ from ..losses.ssod_loss import SSODLossConfig
 from ..models import build_model
 from ..ssod.labelmatch import LabelMatch
 from ..ssod.quality import check_pseudo_label, check_pseudo_label_with_gt
-from ..utils.checkpoint import save_checkpoint
 from .ssod_step import (
     create_ssod_train_state,
     make_burn_in_train_step,
@@ -407,9 +406,10 @@ class SSODTrainer(Trainer):
     def _save_ckpt(self, name: str, fi: float):
         """Saves the teacher (semi_ema) as the ckpt `ema` entry after burn-in
         (reference ssod_trainer.py:393-409)."""
-        st = jax.device_get(self.state)
+        st = self.state
         ema_src = st.semi_ema if self.teacher_seeded else st.ema
-        save_checkpoint(
+        # async snapshot+write (utils/checkpoint.py AsyncCheckpointer)
+        self.checkpointer.save(
             self.save_dir / "weights" / name,
             params=st.params,
             batch_stats=st.batch_stats,

@@ -40,9 +40,9 @@ from ..parallel.distributed import is_main_process, make_global_batch
 from ..parallel.mesh import image_sharding, make_mesh, make_mesh_2d, replicate
 from ..utils.callbacks import Callbacks
 from ..utils.checkpoint import (
+    AsyncCheckpointer,
     intersect_trees,
     load_checkpoint,
-    save_checkpoint,
 )
 from ..utils.general import check_img_size, increment_path
 from .optim import OptimizerConfig
@@ -94,6 +94,7 @@ class Trainer:
         self.save_period = cfg.save_period
         self.results_csv = self.save_dir / "results.csv"
         self.n_devices = len(jax.devices())
+        self.checkpointer = AsyncCheckpointer()
         # cfg.sp > 1: dp x sp mesh, image H sharded over sp (GSPMD spatial
         # partitioning, parallel/mesh.py) — otherwise plain dp
         self.sp = max(int(getattr(cfg, "sp", 1) or 1), 1)
@@ -514,8 +515,11 @@ class Trainer:
             ])
 
     def _save_ckpt(self, name: str, fi: float):
-        st = jax.device_get(self.state)
-        save_checkpoint(
+        # async: on-device snapshot now, serialize+write on the ckpt-writer
+        # thread (utils/checkpoint.py AsyncCheckpointer); the step loop
+        # never blocks on the device->host pull or msgpack
+        st = self.state
+        self.checkpointer.save(
             self.save_dir / "weights" / name,
             params=st.params,
             batch_stats=st.batch_stats,
@@ -561,6 +565,7 @@ class Trainer:
             self.before_epoch()
             self.train_in_epoch()
             self.after_epoch()
+        self.checkpointer.wait()  # last.ckpt/best.ckpt durable before return
         LOGGER.info(
             "%d epochs in %.1f h, best fitness %.4f",
             self.epochs - self.start_epoch, (time.time() - t0) / 3600,

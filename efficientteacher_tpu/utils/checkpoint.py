@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -75,6 +76,51 @@ def save_checkpoint(
     if cfg_yaml is not None:
         meta["cfg"] = cfg_yaml
     path.with_suffix(path.suffix + ".json").write_text(json.dumps(meta))
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writes for the training loop.
+
+    `save()` snapshots every device array with an on-device copy
+    (`jnp.array` — an async-dispatched HBM copy, so the snapshot is immune
+    to the train step's buffer donation overwriting the live state) and
+    returns immediately; the device->host pull, fp16 casts, msgpack
+    serialization and the file write all run on a background thread. One
+    save is in flight at a time — a new `save()` first joins the previous
+    one, and `wait()` joins + re-raises any background failure.
+
+    TPU-native replacement for the reference's in-loop torch.save
+    (trainer/trainer.py:474-491), which serializes the full state dict on
+    the training thread every epoch.
+    """
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._exc: Optional[BaseException] = None
+
+    def save(self, path: str | Path, **kwargs) -> None:
+        self.wait()
+        snap = jax.tree.map(
+            lambda x: jnp.array(x) if isinstance(x, jax.Array) else x,
+            kwargs)
+
+        def run():
+            try:
+                save_checkpoint(path, **snap)
+            except BaseException as e:  # surfaced by the next wait()/save()
+                self._exc = e
+
+        self._thread = threading.Thread(
+            target=run, name="ckpt-writer", daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        t, self._thread = self._thread, None
+        if t is not None:
+            t.join()
+        if self._exc is not None:
+            e, self._exc = self._exc, None
+            raise RuntimeError("async checkpoint save failed") from e
 
 
 def load_checkpoint(path: str | Path) -> Dict[str, Any]:
