@@ -261,6 +261,8 @@ class SSODTrainer(Trainer):
                                    if k != "loss"})
                 LOGGER.info("burn epoch %d it %d/%d %s", self.epoch, i,
                             self.nb, self.meter)
+            if self.stop.requested:
+                break
 
     def _train_with_unlabeled(self):
         thr_high = jnp.asarray(self.label_match.cls_thr_high)
@@ -354,6 +356,8 @@ class SSODTrainer(Trainer):
                 self.meter.update(metrics)
                 LOGGER.info("ssod epoch %d it %d/%d %s", self.epoch, i,
                             n_iter, self.meter)
+            if self.stop.requested:
+                break
 
     def after_epoch(self):
         if self.use_labelmatch and self.epoch >= self.burn_epochs \
@@ -403,7 +407,7 @@ class SSODTrainer(Trainer):
             if fi == self.best_fitness:
                 self._save_ckpt("best.ckpt", fi)
 
-    def _save_ckpt(self, name: str, fi: float):
+    def _save_ckpt(self, name: str, fi: float, epoch=None):
         """Saves the teacher (semi_ema) as the ckpt `ema` entry after burn-in
         (reference ssod_trainer.py:393-409)."""
         st = self.state
@@ -416,7 +420,7 @@ class SSODTrainer(Trainer):
             ema_params=ema_src.params,
             ema_batch_stats=ema_src.batch_stats,
             ema_updates=int(ema_src.updates),
-            epoch=self.epoch,
+            epoch=self.epoch if epoch is None else epoch,
             best_fitness=self.best_fitness,
             cfg_yaml=self.cfg.dump(),
         )

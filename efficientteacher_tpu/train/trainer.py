@@ -39,6 +39,7 @@ from ..models.spec import spec_from_cfg
 from ..parallel.distributed import is_main_process, make_global_batch
 from ..parallel.mesh import image_sharding, make_mesh, make_mesh_2d, replicate
 from ..utils.callbacks import Callbacks
+from ..utils.shutdown import GracefulStop
 from ..utils.checkpoint import (
     AsyncCheckpointer,
     intersect_trees,
@@ -95,6 +96,7 @@ class Trainer:
         self.results_csv = self.save_dir / "results.csv"
         self.n_devices = len(jax.devices())
         self.checkpointer = AsyncCheckpointer()
+        self.stop = GracefulStop()
         # cfg.sp > 1: dp x sp mesh, image H sharded over sp (GSPMD spatial
         # partitioning, parallel/mesh.py) — otherwise plain dp
         self.sp = max(int(getattr(cfg, "sp", 1) or 1), 1)
@@ -458,6 +460,8 @@ class Trainer:
                 LOGGER.info("epoch %d it %d/%d %s", self.epoch, i, self.nb,
                             self.meter)
             self.callbacks.run("on_train_batch_end")
+            if self.stop.requested:
+                break
 
     def after_epoch(self):
         results = (0.0, 0.0, 0.0, 0.0)
@@ -514,7 +518,7 @@ class Trainer:
                 self.opt_cfg.lr0 * self.opt_cfg.lf(self.epoch),
             ])
 
-    def _save_ckpt(self, name: str, fi: float):
+    def _save_ckpt(self, name: str, fi: float, epoch: Optional[int] = None):
         # async: on-device snapshot now, serialize+write on the ckpt-writer
         # thread (utils/checkpoint.py AsyncCheckpointer); the step loop
         # never blocks on the device->host pull or msgpack
@@ -529,7 +533,7 @@ class Trainer:
             # optimizer momentum only rides in last.ckpt (resume source;
             # reference keeps it in last.pt and strips it from best)
             opt_state=st.opt if name == "last.ckpt" else None,
-            epoch=self.epoch,
+            epoch=self.epoch if epoch is None else epoch,
             best_fitness=self.best_fitness,
             cfg_yaml=self.cfg.dump(),
         )
@@ -559,12 +563,25 @@ class Trainer:
 
     def train(self):
         self.callbacks.run("on_train_start")
+        # preemption (SIGTERM) / Ctrl-C: finish step, save, exit cleanly
+        self.stop.install()
         t0 = time.time()
         for self.epoch in range(self.start_epoch, self.epochs):
             self.callbacks.run("on_train_epoch_start")
             self.before_epoch()
             self.train_in_epoch()
+            if self.stop.requested:
+                LOGGER.warning(
+                    "graceful stop at epoch %d: saving last.ckpt (resume "
+                    "restarts this epoch), skipping val", self.epoch)
+                if not self.nosave and self.is_main:
+                    # epoch-1: the interrupted epoch is incomplete; resume
+                    # (meta.epoch + 1, :210) must re-run it
+                    self._save_ckpt("last.ckpt", self.best_fitness,
+                                    epoch=self.epoch - 1)
+                break
             self.after_epoch()
+        self.stop.uninstall()
         self.checkpointer.wait()  # last.ckpt/best.ckpt durable before return
         LOGGER.info(
             "%d epochs in %.1f h, best fitness %.4f",
