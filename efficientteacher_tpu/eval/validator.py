@@ -55,7 +55,9 @@ def _scale_to_native(boxes: np.ndarray, letterbox_hw: Tuple[int, int],
 
 def make_infer_fn(model, nc: int, conf_thres: float, iou_thres: float,
                   max_det: int, max_nms: int, norm_scale: float,
-                  compute_dtype=jnp.bfloat16):
+                  compute_dtype=jnp.bfloat16, approx_topk: bool = False):
+    """`approx_topk`: serving knob — approximate candidate selection in
+    NMS (ops/nms.py batched_nms); exact by default for parity."""
     @jax.jit
     def infer(variables, images_u8):
         x = images_u8.astype(compute_dtype) / norm_scale
@@ -69,6 +71,7 @@ def make_infer_fn(model, nc: int, conf_thres: float, iou_thres: float,
         return batched_nms(
             decoded, nc=nc, conf_thres=conf_thres, iou_thres=iou_thres,
             multi_label=True, max_nms=max_nms, max_det=max_det,
+            approx_topk=approx_topk,
         )
 
     return infer

@@ -142,6 +142,7 @@ def _prep_candidates(
     max_nms: int,
     ssod: bool,
     tile: int,
+    approx_topk: bool = False,
 ):
     """One image of raw predictions (N, 5+nc) -> score-sorted padded
     candidate rows + offset boxes for suppression."""
@@ -161,7 +162,18 @@ def _prep_candidates(
         score = jnp.where(gate[:, None] & (conf_mat > conf_thres), conf_mat, -1.0)
         flat = score.reshape(-1)
         k_eff = min(max_nms, flat.shape[0])
-        top_scores, top_idx = jax.lax.top_k(flat, k_eff)
+        if approx_topk and k_eff < flat.shape[0]:
+            # serving knob: XLA's exact TopK over the (anchors*nc) pair
+            # lattice costs ~2.3-5.3 ms/img on TPU at eval density
+            # (measured; it is the algorithm's floor, not bandwidth —
+            # a count pass over the same array is ~0.1 ms/img).
+            # approx_max_k (recall ~0.95 over the sub-threshold tail)
+            # trades the lowest-conf tail candidates for ~40% of the
+            # selection cost; greedy NMS afterwards stays exact.
+            top_scores, top_idx = jax.lax.approx_max_k(
+                flat, k_eff, recall_target=0.95)
+        else:
+            top_scores, top_idx = jax.lax.top_k(flat, k_eff)
         anchor = top_idx // nc
         cls = (top_idx % nc).astype(jnp.float32)
         cand_boxes = boxes_xyxy[anchor]
@@ -205,7 +217,7 @@ def _prep_candidates(
     jax.jit,
     static_argnames=(
         "nc", "conf_thres", "iou_thres", "multi_label", "agnostic",
-        "max_nms", "max_det", "ssod", "tile", "use_pallas",
+        "max_nms", "max_det", "ssod", "tile", "use_pallas", "approx_topk",
     ),
 )
 def batched_nms(
@@ -221,6 +233,7 @@ def batched_nms(
     ssod: bool = False,
     tile: int = 256,
     use_pallas: bool | None = None,
+    approx_topk: bool = False,
 ) -> NMSOutput:
     """Batched NMS over raw decoded predictions (B, N, 5+nc).
 
@@ -229,6 +242,12 @@ def batched_nms(
                     (reference non_max_suppression, general.py:994)
       ssod=True  -> detections (B, max_det, 8) = [..., obj_conf, cls_conf]
                     (reference non_max_suppression_ssod, general.py:887)
+
+    `approx_topk=True` (serving knob, multi-label path only): select the
+    max_nms candidate pairs with `lax.approx_max_k` instead of exact
+    TopK. Only the ordering/membership of the lowest-confidence tail of
+    the candidate set can differ; the greedy suppression sweep itself
+    stays exact. Default off — the parity suites all run exact.
     """
     prediction = prediction.astype(jnp.float32)
     prep = functools.partial(
@@ -240,6 +259,7 @@ def batched_nms(
         max_nms=max_nms,
         ssod=ssod,
         tile=tile,
+        approx_topk=approx_topk,
     )
     nms_boxes, cand_valid, rows = jax.vmap(prep)(prediction)
     k = nms_boxes.shape[1]

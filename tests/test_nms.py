@@ -130,3 +130,23 @@ def test_batched_nms_multilabel():
     )
     val = np.asarray(out.valid)[0]
     assert val.sum() == 2
+
+
+def test_batched_nms_approx_topk_matches_exact_head():
+    """Serving knob (ops/nms.py approx_topk): only the lowest-conf tail
+    of the candidate set may differ from exact selection, so the
+    high-confidence kept rows must be identical."""
+    rng = np.random.default_rng(7)
+    pred = _make_pred(rng, 2, 3000, 8)
+    kw = dict(nc=8, conf_thres=0.001, iou_thres=0.6, multi_label=True,
+              max_nms=1024, max_det=100)
+    exact = batched_nms(jnp.asarray(pred), **kw)
+    approx = batched_nms(jnp.asarray(pred), approx_topk=True, **kw)
+    de, da = np.asarray(exact.detections), np.asarray(approx.detections)
+    ve, va = np.asarray(exact.valid), np.asarray(approx.valid)
+    for b in range(2):
+        # the top kept rows (well above the selection tail) agree
+        ne, na = ve[b].sum(), va[b].sum()
+        head = min(ne, na, 20)
+        assert head > 0
+        np.testing.assert_allclose(de[b, :head], da[b, :head], rtol=1e-6)
