@@ -257,8 +257,13 @@ def mosaic4(
 
 
 def mixup(img1, labels1, img2, labels2, rng: Optional[random.Random] = None):
-    """Beta(32, 32) image blend (reference augmentations.py:409-415)."""
-    r = np.random.beta(32.0, 32.0)
+    """Beta(32, 32) image blend (reference augmentations.py:409-415).
+
+    Draws from `rng` when given — the global np.random fallback would make
+    sample content depend on unrelated callers' RNG consumption (test-order
+    sensitivity)."""
+    r = rng.betavariate(32.0, 32.0) if rng is not None \
+        else np.random.beta(32.0, 32.0)
     img = (img1 * r + img2 * (1 - r)).astype(np.uint8)
     return img, np.concatenate([labels1, labels2], 0)
 

@@ -578,11 +578,12 @@ class BatchLoader:
             "paths": [self.ds.img_files[i] for i in bidx],
         }
 
-    def _reseed(self, wid: int):
-        """Per-worker augmentation RNG (forked children would otherwise
-        share the parent's stream)."""
+    def _reseed(self, seq: int):
+        """Per-BATCH augmentation RNG: content is a pure function of
+        (seed, epoch, batch index), independent of worker scheduling
+        (parallel_loader.py determinism note)."""
         self.ds.rng = random.Random(
-            (self.seed + 1) * 7919 + self.epoch * 131 + wid
+            (self.seed + 1) * 7919 + self.epoch * 131 + seq
         )
 
     def _use_processes(self) -> bool:
@@ -753,6 +754,9 @@ class QuadBatchLoader(BatchLoader):
 
     def __iter__(self):
         idx = self._indices()
+        # deterministic per-epoch quad choices (global `random` would make
+        # batches depend on unrelated RNG consumers)
+        qrng = random.Random((self.seed + 3) * 104729 + self.epoch)
         group = self.bs * 4
         batches = [idx[i : i + group] for i in range(0, len(idx), group)]
         if self.drop_last:
@@ -767,7 +771,7 @@ class QuadBatchLoader(BatchLoader):
                 items = [self.ds[i] for i in quad]
                 if ncol is None:
                     ncol = items[0][1].shape[-1]
-                if random.random() < 0.5:
+                if qrng.random() < 0.5:
                     # single item upscaled to 2s (labels unchanged: they are
                     # normalized to the frame)
                     img = cv2.resize(items[0][0], (2 * s, 2 * s),

@@ -17,8 +17,13 @@ Design notes:
     yolov5 fork-safety convention); they never call into JAX.
   - fixed shapes everywhere (CLAUDE.md invariant) make the slot ring
     possible: every batch of a loader has identical array shapes/dtypes.
-  - batch order is completion order (train batches are shuffled anyway);
-    the `indices` meta still records which samples a batch holds.
+  - DETERMINISM: batches are yielded in task order (a small reorder
+    buffer over the completion stream) and the augmentation RNG is
+    re-seeded per BATCH (not per worker), so epoch content and order are
+    exactly reproducible regardless of worker scheduling — matching the
+    reference torch DataLoader's in-order, worker-count-independent
+    semantics. (The thread fallback yields in completion order and
+    shares the parent RNG; it is only deterministic at workers=1.)
 """
 
 from __future__ import annotations
@@ -60,6 +65,7 @@ def iter_batches_processes(
     n_slots = n_slots or max(2 * workers, 4)
 
     # probe: the first batch is built in-parent and defines the slot layout
+    reseed(0)  # per-batch seeding: batch 0's content is scheduling-free too
     first = build_batch(batches[0])
     arrays = {k: v for k, v in first.items() if isinstance(v, np.ndarray)}
     ctx = multiprocessing.get_context("fork")
@@ -69,8 +75,8 @@ def iter_batches_processes(
     free_q = ctx.Queue()
     for sid in range(n_slots):
         free_q.put(sid)
-    for b in batches[1:]:
-        task_q.put(b)
+    for seq, b in enumerate(batches[1:], start=1):
+        task_q.put((seq, b))
     for _ in range(workers):
         task_q.put(None)
 
@@ -81,13 +87,16 @@ def iter_batches_processes(
             cv2.setNumThreads(0)
         except Exception:
             pass
-        reseed(wid)
         while True:
             task = task_q.get()
             if task is None:
                 break
+            seq, bidx = task
             try:
-                batch = build_batch(task)
+                # seed by BATCH index: content is independent of which
+                # worker draws the task (determinism note above)
+                reseed(seq)
+                batch = build_batch(bidx)
             except BaseException:
                 import traceback
 
@@ -99,7 +108,7 @@ def iter_batches_processes(
             for k in arrays:
                 slots[sid][k][...] = batch[k]
             meta = {k: v for k, v in batch.items() if k not in arrays}
-            done_q.put((sid, meta))
+            done_q.put((sid, seq, meta))
         done_q.put(None)
 
     procs = [ctx.Process(target=worker, args=(w,), daemon=True)
@@ -110,6 +119,8 @@ def iter_batches_processes(
         yield first
         finished = 0
         remaining = len(batches) - 1
+        pending: Dict[int, Dict] = {}  # copied-out batches awaiting turn
+        next_seq = 1
         while remaining > 0:
             msg = done_q.get()
             if msg is None:
@@ -122,7 +133,7 @@ def iter_batches_processes(
                 continue
             if msg[0] == "error":
                 raise RuntimeError(f"loader worker failed:\n{msg[1]}")
-            sid, meta = msg
+            sid, seq, meta = msg
             # COPY out of the slot: yielded arrays must own their memory —
             # consumers cache batches (itertools.cycle in the SSOD trainer)
             # and JAX's host->device copy is async (PJRT may still be
@@ -131,8 +142,13 @@ def iter_batches_processes(
             out = {k: v.copy() for k, v in slots[sid].items()}
             out.update(meta)
             free_q.put(sid)
-            remaining -= 1
-            yield out
+            # in-order delivery: buffer out-of-turn completions (copies own
+            # their memory, so slots recycle immediately either way)
+            pending[seq] = out
+            while next_seq in pending:
+                remaining -= 1
+                next_seq += 1
+                yield pending.pop(next_seq - 1)
     finally:
         for p in procs:
             if p.is_alive():

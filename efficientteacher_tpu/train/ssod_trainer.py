@@ -38,7 +38,6 @@ from .ssod_step import (
     make_ssod_train_step,
     seed_teacher_from_ema,
 )
-from .supervised import Schedule
 from .train_state import cosine_ema_decay
 from .trainer import Trainer
 

@@ -125,3 +125,40 @@ def test_process_loader_surfaces_worker_errors():
         for _ in iter_batches_processes(bad_build, batches, workers=2,
                                         reseed=lambda w: None):
             pass
+
+
+def test_process_loader_deterministic_order_and_content():
+    """Reproducibility contract (parallel_loader.py determinism note):
+    batches arrive in task order with content seeded per batch index —
+    identical across runs and worker counts, like the reference torch
+    DataLoader."""
+    if not _FORK_OK:
+        pytest.skip("no fork")
+    ds = StubDataset(n=48)
+    batches = [[i, i + 1] for i in range(0, 48, 2)]
+    state = {"rng": None}
+
+    def reseed(seq):
+        import random
+
+        state["rng"] = random.Random(1000 + seq)
+
+    def build(bidx):
+        items = [ds[i] for i in bidx]
+        jitter = state["rng"].random()  # per-batch aug stand-in
+        return {
+            "images": np.stack([it[0] for it in items]),
+            "jitter": jitter,
+            "indices": bidx,
+        }
+
+    def run(workers):
+        out = []
+        for b in iter_batches_processes(build, batches, workers=workers,
+                                        reseed=reseed, n_slots=3):
+            out.append((tuple(b["indices"]), round(b["jitter"], 12)))
+        return out
+
+    r1, r2, r4 = run(1), run(2), run(4)
+    assert [o[0] for o in r1] == [tuple(b) for b in batches]  # task order
+    assert r1 == r2 == r4  # content independent of scheduling

@@ -206,6 +206,75 @@ def test_spatial_step_within_dp_noise(mesh):
     assert maxdiff(s1.batch_stats, s3.batch_stats) < 1e-4
 
 
+def test_ssod_step_spatial(mesh):
+    """The full SSOD train step (teacher forward + on-device pseudo
+    labels + student losses + optimizer + EMA chain) under dp x sp:
+    loss matches the single-device step and the pseudo-label count is
+    identical (NMS operates on decoded boxes, which GSPMD gathers off
+    the H-sharded maps)."""
+    from efficientteacher_tpu.losses.ssod_loss import SSODLossConfig
+    from efficientteacher_tpu.models import build_model
+    from efficientteacher_tpu.train.ssod_step import (
+        create_ssod_train_state, make_ssod_train_step,
+        seed_teacher_from_ema,
+    )
+    from efficientteacher_tpu.train import OptimizerConfig, Schedule
+
+    cfg = _cfg128()
+    cfg.SSOD.train_domain = True
+    cfg.SSOD.with_da_loss = True
+    spec = spec_from_cfg(cfg)
+    model = build_model(spec, ssod=True, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, SIZE, SIZE, 3)), train=False)
+    oc = OptimizerConfig(lr0=0.01, epochs=10)
+    anchors = np.asarray(spec.anchors, np.float32).reshape(3, 3, 2) / \
+        np.array([8.0, 16.0, 32.0]).reshape(3, 1, 1)
+    step = make_ssod_train_step(
+        model, YoloV5LossConfig.from_cfg(cfg), SSODLossConfig.from_cfg(cfg),
+        anchors, oc, spec, nms_conf_thres=0.001, nms_iou_thres=0.6,
+        max_pl=16, multi_label=False, teacher_loss_weight=0.5,
+        da_loss_weight=0.1, with_da_loss=True, compute_dtype=jnp.float32,
+    )
+
+    rng = np.random.default_rng(5)
+    b = 8
+    images = jnp.asarray(rng.integers(0, 255, (b, SIZE, SIZE, 3), np.uint8))
+    labels = np.zeros((b, 8, 5), np.float32)
+    mask = np.zeros((b, 8), bool)
+    labels[:, 0] = [1, 0.5, 0.5, 0.3, 0.3]
+    mask[:, 0] = True
+    labels, mask = jnp.asarray(labels), jnp.asarray(mask)
+    m_s = np.zeros((b, 13), np.float32)
+    m_s[:, 1:10] = np.eye(3).reshape(-1)
+    m_s[:, 10] = 1.0
+    m_s = jnp.asarray(m_s)
+    thr = (jnp.full((4,), 0.001), jnp.full((4,), 0.0005))
+    sched = Schedule.make(0.01, 0.01, 0.937, 1)
+
+    def run(spatial):
+        state = create_ssod_train_state(
+            jax.tree.map(jnp.array, variables["params"]),
+            jax.tree.map(jnp.array, variables["batch_stats"]), oc)
+        state = seed_teacher_from_ema(state)
+        if spatial:
+            state = replicate(mesh, state)
+            img = shard_images(mesh, images)
+            lab, msk, ms = shard_batch(mesh, (labels, mask, m_s))
+            th = replicate(mesh, thr)
+            st, out = step(state, img, lab, msk, img, img, ms,
+                           *th, sched, jnp.float32(0.999))
+        else:
+            st, out = step(state, images, labels, mask, images, images,
+                           m_s, *thr, sched, jnp.float32(0.999))
+        return float(out.metrics["total"]), int(out.pseudo_count)
+
+    loss1, pl1 = run(False)
+    loss2, pl2 = run(True)
+    assert pl1 == pl2 and pl1 > 0
+    np.testing.assert_allclose(loss1, loss2, rtol=2e-3)
+
+
 def test_trainer_sp_smoke(tmp_path):
     """End-to-end: Trainer with cfg.sp=2 builds a dp4 x sp2 mesh, places
     images P('dp','sp'), and runs a real epoch."""
