@@ -533,6 +533,7 @@ class BatchLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.workers = max(1, workers)
+        self._warned_threads = False
         self.epoch = 0
         self.seed = seed
         self.sampler_type = sampler_type
@@ -581,10 +582,12 @@ class BatchLoader:
     def _reseed(self, seq: int):
         """Per-BATCH augmentation RNG: content is a pure function of
         (seed, epoch, batch index), independent of worker scheduling
-        (parallel_loader.py determinism note)."""
-        self.ds.rng = random.Random(
-            (self.seed + 1) * 7919 + self.epoch * 131 + seq
-        )
+        (parallel_loader.py determinism note). String seeding hashes the
+        triple (sha512 under the hood), so streams are independent across
+        epochs — an arithmetic mix like epoch*K + seq collides whenever
+        batches-per-epoch exceeds K, replaying epoch e's batch s+K as
+        epoch e+1's batch s."""
+        self.ds.rng = random.Random(f"{self.seed}/{self.epoch}/{seq}")
 
     def _use_processes(self) -> bool:
         from .parallel_loader import _FORK_OK
@@ -612,6 +615,16 @@ class BatchLoader:
                 self._build_batch, batches, self.workers, self._reseed
             )
         else:
+            if self.workers > 1 and not self._warned_threads:
+                self._warned_threads = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "loader falling back to threads with workers=%d: "
+                    "batch order/content will NOT be reproducible across "
+                    "runs or machines (set Dataset.loader='process' or "
+                    "workers=1 for determinism)", self.workers,
+                )
             it = iter_batches_threads(
                 self._build_batch, batches, self.workers, self.prefetch
             )

@@ -6,9 +6,9 @@ GIL makes Python threads insufficient for cv2 mosaic at TPU train rates
 (VERDICT r1: 4 decodes/sample at 640px, doubled for the SSOD dual view), so
 train loaders fork `workers` processes that each build whole batches and
 write the stacked arrays into pre-allocated shared-memory slots; the parent
-copies each finished slot once (a ~5 ms b32@640 memcpy — consumers may
+copies each slot once at yield time (a ~5 ms b32@640 memcpy — consumers may
 cache batches and JAX h2d copies are async, so yielded arrays must own
-their memory) and recycles the slot immediately.
+their memory) and recycles the slot.
 
 Design notes:
   - fork start method: the dataset (file lists, label arrays, RAM cache) is
@@ -17,13 +17,15 @@ Design notes:
     yolov5 fork-safety convention); they never call into JAX.
   - fixed shapes everywhere (CLAUDE.md invariant) make the slot ring
     possible: every batch of a loader has identical array shapes/dtypes.
-  - DETERMINISM: batches are yielded in task order (a small reorder
-    buffer over the completion stream) and the augmentation RNG is
-    re-seeded per BATCH (not per worker), so epoch content and order are
-    exactly reproducible regardless of worker scheduling — matching the
-    reference torch DataLoader's in-order, worker-count-independent
-    semantics. (The thread fallback yields in completion order and
-    shares the parent RNG; it is only deterministic at workers=1.)
+  - DETERMINISM: batches are yielded in task order (out-of-turn
+    completions wait in their slots, so in-flight memory is bounded by
+    n_slots) and the augmentation RNG is re-seeded per BATCH (not per
+    worker), so epoch content and order are exactly reproducible
+    regardless of worker scheduling — matching the reference torch
+    DataLoader's in-order, worker-count-independent semantics. (The
+    thread fallback yields in completion order and shares the parent
+    RNG; it is only deterministic at workers=1 — BatchLoader warns when
+    auto mode falls to threads with workers>1.)
 """
 
 from __future__ import annotations
@@ -88,8 +90,15 @@ def iter_batches_processes(
         except Exception:
             pass
         while True:
+            # acquire the slot BEFORE the task: every task-holder owns a
+            # slot, so the batch the parent's in-order cursor waits for can
+            # always complete — the memory-bound invariant below depends on
+            # this order (slot-less task-holders could deadlock against a
+            # parent that only frees slots at in-order yield)
+            sid = free_q.get()
             task = task_q.get()
             if task is None:
+                free_q.put(sid)
                 break
             seq, bidx = task
             try:
@@ -102,9 +111,9 @@ def iter_batches_processes(
 
                 # surface the failure instead of hanging the parent on
                 # done_q.get()
+                free_q.put(sid)
                 done_q.put(("error", traceback.format_exc()))
                 break
-            sid = free_q.get()
             for k in arrays:
                 slots[sid][k][...] = batch[k]
             meta = {k: v for k, v in batch.items() if k not in arrays}
@@ -119,7 +128,7 @@ def iter_batches_processes(
         yield first
         finished = 0
         remaining = len(batches) - 1
-        pending: Dict[int, Dict] = {}  # copied-out batches awaiting turn
+        pending: Dict[int, tuple] = {}  # seq -> (sid, meta) awaiting turn
         next_seq = 1
         while remaining > 0:
             msg = done_q.get()
@@ -134,21 +143,23 @@ def iter_batches_processes(
             if msg[0] == "error":
                 raise RuntimeError(f"loader worker failed:\n{msg[1]}")
             sid, seq, meta = msg
-            # COPY out of the slot: yielded arrays must own their memory —
-            # consumers cache batches (itertools.cycle in the SSOD trainer)
-            # and JAX's host->device copy is async (PJRT may still be
+            # in-order delivery with BOUNDED memory: out-of-turn batches
+            # stay in their shared-memory slots (at most n_slots in flight —
+            # workers block on free_q until the cursor advances); the copy
+            # out happens only at yield time. Yielded arrays must own their
+            # memory — consumers cache batches (itertools.cycle in the SSOD
+            # trainer) and JAX's h2d copy is async (PJRT may still be
             # reading the buffer when the next batch wants the slot). A
-            # b32@640 memcpy is ~5 ms; slot recycling stays prompt.
-            out = {k: v.copy() for k, v in slots[sid].items()}
-            out.update(meta)
-            free_q.put(sid)
-            # in-order delivery: buffer out-of-turn completions (copies own
-            # their memory, so slots recycle immediately either way)
-            pending[seq] = out
+            # b32@640 memcpy is ~5 ms.
+            pending[seq] = (sid, meta)
             while next_seq in pending:
+                psid, pmeta = pending.pop(next_seq)
+                out = {k: v.copy() for k, v in slots[psid].items()}
+                out.update(pmeta)
+                free_q.put(psid)
                 remaining -= 1
                 next_seq += 1
-                yield pending.pop(next_seq - 1)
+                yield out
     finally:
         for p in procs:
             if p.is_alive():

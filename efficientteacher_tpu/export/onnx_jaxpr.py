@@ -511,7 +511,15 @@ class _Translator:
     def _reduce(self, eqn, invals, op):
         axes = [int(a) for a in eqn.params["axes"]]
         x = self.name_of(invals[0], _IDENT)
-        out = self.b.emit(op, [x], attrs={"axes": axes, "keepdims": 0})
+        if op == "ReduceSum":
+            # opset 13 moved ReduceSum's axes from attribute to a second
+            # int64 input (the other Reduce* ops only follow at opset 18) —
+            # an axes ATTRIBUTE here is spec-invalid and rejected by
+            # onnxruntime/onnx.checker, though lenient loaders accept it
+            ax = self.b.const(np.asarray(axes, np.int64), "axes")
+            out = self.b.emit(op, [x, ax], attrs={"keepdims": 0})
+        else:
+            out = self.b.emit(op, [x], attrs={"axes": axes, "keepdims": 0})
         self._out_sym(eqn, out, _IDENT)
 
     def _p_gather(self, eqn, invals):

@@ -181,12 +181,25 @@ def apply_gradients_accumulating(
     an SSOD state, also advances the semi_ema teacher chain (reference
     ssod_trainer.py:458-488: ema.update(student); semi_ema.update(ema))."""
     if oc.adam:
-        assert semi_decay is None, "adam + semi_ema chain not wired"
-        return apply_gradients_accumulating_tree(
+        new_state = apply_gradients_accumulating_tree(
             state, grads, oc, lr_bias=lr_bias, lr_rest=lr_rest,
             momentum=momentum, accumulate=accumulate, ema_decay=ema_decay,
             new_batch_stats=new_batch_stats,
         )
+        semi = getattr(state, "semi_ema", None)
+        if semi_decay is not None and semi is not None:
+            # advance the teacher chain semi_ema.update(ema) on fired steps
+            # only (reference ssod_trainer.py:458-488), mirroring the fused
+            # SGD path below
+            do_step = (state.acc_count + 1) >= accumulate
+            stepped = ema_update(
+                semi, new_state.ema.params, new_state.ema.batch_stats,
+                semi_decay, ramp=False,
+            )
+            new_semi = jax.tree.map(
+                lambda a, b: jnp.where(do_step, a, b), stepped, semi)
+            new_state = new_state.replace(semi_ema=new_semi)
+        return new_state
 
     from .optim import param_group_label
 

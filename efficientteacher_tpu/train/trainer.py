@@ -566,23 +566,31 @@ class Trainer:
         # preemption (SIGTERM) / Ctrl-C: finish step, save, exit cleanly
         self.stop.install()
         t0 = time.time()
-        for self.epoch in range(self.start_epoch, self.epochs):
-            self.callbacks.run("on_train_epoch_start")
-            self.before_epoch()
-            self.train_in_epoch()
-            if self.stop.requested:
-                LOGGER.warning(
-                    "graceful stop at epoch %d: saving last.ckpt (resume "
-                    "restarts this epoch), skipping val", self.epoch)
-                if not self.nosave and self.is_main:
-                    # epoch-1: the interrupted epoch is incomplete; resume
-                    # (meta.epoch + 1, :210) must re-run it
-                    self._save_ckpt("last.ckpt", self.best_fitness,
-                                    epoch=self.epoch - 1)
-                break
-            self.after_epoch()
-        self.stop.uninstall()
-        self.checkpointer.wait()  # last.ckpt/best.ckpt durable before return
+        try:
+            for self.epoch in range(self.start_epoch, self.epochs):
+                self.callbacks.run("on_train_epoch_start")
+                self.before_epoch()
+                self.train_in_epoch()
+                if self.stop.requested:
+                    LOGGER.warning(
+                        "graceful stop at epoch %d: saving last.ckpt "
+                        "(resume restarts this epoch), skipping val",
+                        self.epoch)
+                    if not self.nosave and self.is_main:
+                        # epoch-1: the interrupted epoch is incomplete;
+                        # resume (meta.epoch + 1, :210) must re-run it
+                        self._save_ckpt("last.ckpt", self.best_fitness,
+                                        epoch=self.epoch - 1)
+                    break
+                self.after_epoch()
+        finally:
+            # even on an epoch-loop exception: restore default signal
+            # handlers (a leaked GracefulStop handler would swallow the
+            # next Ctrl-C into a dangling flag) and join the async
+            # checkpoint writer so a mid-write daemon isn't killed at
+            # interpreter exit and a failed save's exception surfaces
+            self.stop.uninstall()
+            self.checkpointer.wait()  # last/best.ckpt durable before return
         LOGGER.info(
             "%d epochs in %.1f h, best fitness %.4f",
             self.epochs - self.start_epoch, (time.time() - t0) / 3600,

@@ -34,11 +34,21 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         if not _SO.exists():
+            # serialize first-use builds ACROSS processes (forked loader
+            # workers all hit this path at once): flock a sidecar lockfile,
+            # re-check under the lock, and rely on build.sh's atomic rename
+            # so a concurrent dlopen never sees a half-written .so
             try:
-                subprocess.run(
-                    ["sh", str(_NATIVE_DIR / "build.sh")],
-                    check=True, capture_output=True, text=True, timeout=120,
-                )
+                import fcntl
+
+                with open(_NATIVE_DIR / ".build.lock", "w") as lockf:
+                    fcntl.flock(lockf, fcntl.LOCK_EX)
+                    if not _SO.exists():
+                        subprocess.run(
+                            ["sh", str(_NATIVE_DIR / "build.sh")],
+                            check=True, capture_output=True, text=True,
+                            timeout=120,
+                        )
             except Exception as e:  # no g++/libjpeg -> cv2 fallback
                 LOGGER.debug("native loader build failed: %s", e)
                 return None

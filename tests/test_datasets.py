@@ -264,3 +264,32 @@ def test_quad_batch_loader(synth_dataset):
     lab = b["labels"][b["mask"]]
     if len(lab):
         assert (lab[:, 1:] >= 0).all() and (lab[:, 1:] <= 1.0001).all()
+
+
+def test_reseed_streams_independent_across_epochs():
+    """Regression: the per-batch RNG seed must not collide across epochs
+    (an arithmetic mix epoch*K + seq replays epoch e's batch s+K as epoch
+    e+1's batch s whenever batches-per-epoch > K)."""
+    from efficientteacher_tpu.data.datasets import BatchLoader
+
+    class _DS:
+        img_files = []
+        rng = None
+
+    def draws(epoch, seq, n=8):
+        bl = BatchLoader.__new__(BatchLoader)
+        bl.ds = _DS()
+        bl.seed = 0
+        bl.epoch = epoch
+        bl._reseed(seq)
+        return tuple(bl.ds.rng.random() for _ in range(n))
+
+    seen = {}
+    for epoch in range(4):
+        for seq in range(600):
+            s = draws(epoch, seq)
+            assert s not in seen, (
+                f"stream collision: {(epoch, seq)} == {seen[s]}")
+            seen[s] = (epoch, seq)
+    # and reproducible for the same triple
+    assert draws(2, 123) == draws(2, 123)

@@ -131,3 +131,49 @@ def test_flat_hold_branch_keeps_state():
         assert np.allclose(np.asarray(a), 0.1)
     assert int(out.acc_count) == 1
     assert int(out.ema.updates) == 0
+
+
+@pytest.mark.parametrize("accumulate", [1, 2])
+def test_adam_semi_ema_chain(accumulate):
+    """SSOD training with cfg.adam=True must advance the semi_ema teacher
+    chain instead of crashing (regression: the fused path asserted
+    semi_decay is None for Adam). Equivalence oracle: tree-path AdamW +
+    manual semi_ema.update(ema) on fired steps."""
+    rng = np.random.default_rng(4)
+    params = _tree(rng)
+    stats = _stats(rng)
+    oc = OptimizerConfig(lr0=0.001, weight_decay=5e-4, epochs=10, adam=True)
+    state = create_ssod_train_state(params, stats, oc)
+    manual = create_ssod_train_state(params, stats, oc)
+
+    for it in range(3):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.normal(size=p.shape).astype(np.float32) * 0.01), params)
+        new_stats = jax.tree.map(lambda s: s + 0.1 * it, stats)
+        kw = dict(lr_bias=0.05, lr_rest=0.01, momentum=0.9,
+                  accumulate=jnp.int32(accumulate), ema_decay=0.9999,
+                  new_batch_stats=new_stats)
+        state = apply_gradients_accumulating(
+            state, grads, oc, semi_decay=jnp.float32(0.996), **kw)
+        fired = int(manual.acc_count) + 1 >= accumulate
+        m_semi = manual.semi_ema
+        manual = apply_gradients_accumulating_tree(manual, grads, oc, **kw)
+        if fired:
+            m_semi = ema_update(m_semi, manual.ema.params,
+                                manual.ema.batch_stats, 0.996, ramp=False)
+        manual = manual.replace(semi_ema=m_semi)
+
+    for name, a, b in (
+        ("params", state.params, manual.params),
+        ("ema", state.ema.params, manual.ema.params),
+        ("semi", state.semi_ema.params, manual.semi_ema.params),
+        ("semi_stats", state.semi_ema.batch_stats,
+         manual.semi_ema.batch_stats),
+    ):
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7,
+                err_msg=name)
+    assert int(state.semi_ema.updates) == int(manual.semi_ema.updates)
+    assert int(state.semi_ema.updates) == (3 if accumulate == 1 else 1)
