@@ -170,3 +170,43 @@ def test_trainer_device_aug_e2e(synth_root, tmp_path):
     assert int(trainer.state.step) >= 2
     # the loss meter saw finite values
     assert all(np.isfinite(m.avg) for m in trainer.meter.meters.values())
+
+
+def test_trainer_deterministic_rerun(synth_root, tmp_path):
+    """End-to-end reproducibility (the determinism contract of the process
+    loader + per-batch RNG seeding): two Trainer runs with identical seeds
+    and the PROCESS loader produce identical results.csv — pins the whole
+    pipeline (sampler order, mosaic/mixup draws, jitted step) since any
+    scheduling leak into batch content would diverge the losses."""
+    import jax.numpy as jnp
+
+    def run(name):
+        cfg = get_cfg()
+        cfg.Model.Backbone.name = "YoloV5"
+        cfg.Model.Neck.name = "YoloV5"
+        cfg.Model.Head.name = "YoloV5"
+        cfg.Model.Neck.in_channels = [256, 512, 1024]
+        cfg.Model.Neck.out_channels = [256, 512, 1024]
+        cfg.Model.width_multiple = 0.125
+        cfg.Model.depth_multiple = 0.34
+        cfg.Loss.type = "ComputeLoss"
+        cfg.Dataset.train = str(synth_root / "train.txt")
+        cfg.Dataset.val = str(synth_root / "train.txt")
+        cfg.Dataset.nc = 1
+        cfg.Dataset.img_size = 128
+        cfg.Dataset.batch_size = 8
+        cfg.Dataset.max_targets = 16
+        cfg.Dataset.loader = "process"
+        cfg.Dataset.workers = 2
+        cfg.epochs = 2
+        cfg.hyp.warmup_epochs = 0
+        cfg.hyp.mosaic = 1.0
+        cfg.hyp.mixup = 0.5
+        cfg.project = str(tmp_path / "runs")
+        cfg.name = name
+        cfg.freeze()
+        trainer = Trainer(cfg, compute_dtype=jnp.float32)
+        trainer.train()
+        return (trainer.save_dir / "results.csv").read_text()
+
+    assert run("det_a") == run("det_b")
