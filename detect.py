@@ -44,7 +44,9 @@ def main(opt):
 
     from efficientteacher_tpu.configs import get_cfg
     from efficientteacher_tpu.data.loaders import LoadImages
-    from efficientteacher_tpu.eval.validator import _scale_to_native
+    from efficientteacher_tpu.eval.validator import (
+        _scale_landmarks_to_native, _scale_to_native,
+    )
     from efficientteacher_tpu.models import build_model
     from efficientteacher_tpu.models.spec import spec_from_cfg
     from efficientteacher_tpu.ops import batched_nms
@@ -72,6 +74,10 @@ def main(opt):
     names = list(cfg.Dataset.names) or [str(i) for i in range(spec.nc)]
     save_dir = increment_path(Path(opt.save_dir) / "exp", mkdir=True)
 
+    # keypoint models: keypoint columns ride through NMS with the obj-only
+    # candidate gate (reference detect.py:206 non_max_suppression_lmk_and_bbox)
+    npk = int(cfg.Dataset.np)
+
     @jax.jit
     def infer(v, x):
         decoded, _ = model.apply(v, x.astype(jnp.bfloat16) / 255.0,
@@ -79,6 +85,7 @@ def main(opt):
         return batched_nms(
             decoded, nc=spec.nc, conf_thres=opt.conf_thres,
             iou_thres=opt.iou_thres, max_det=opt.max_det, max_nms=2048,
+            n_extra=2 * npk, obj_gate=npk > 0,
         )
 
     for img_path, rgb, img0, _ in LoadImages(opt.source, opt.img_size):
@@ -104,11 +111,17 @@ def main(opt):
             det[:, :4] = _scale_to_native(
                 det[:, :4], (opt.img_size, opt.img_size), img0.shape[:2]
             )
+            if npk:
+                det[:, 6:6 + 2 * npk] = _scale_landmarks_to_native(
+                    det[:, 6:6 + 2 * npk], (opt.img_size, opt.img_size),
+                    img0.shape[:2],
+                )
         print(f"{img_path}: {len(det)} detections")
         if opt.save_txt:
             lines = []
             h0, w0 = img0.shape[:2]
-            for *xyxy, conf, cls in det:
+            for row in det:
+                xyxy, conf, cls = row[:4], row[4], row[5]
                 cx = (xyxy[0] + xyxy[2]) / 2 / w0
                 cy = (xyxy[1] + xyxy[3]) / 2 / h0
                 bw = (xyxy[2] - xyxy[0]) / w0
@@ -122,7 +135,8 @@ def main(opt):
             crop_dir = save_dir / "crops"
             crop_dir.mkdir(exist_ok=True)
             stem = Path(img_path.split("#")[0]).stem
-            for j, (*xyxy, conf, cls) in enumerate(det):
+            for j, row in enumerate(det):
+                xyxy = row[:4]
                 x1, y1 = max(0, int(xyxy[0])), max(0, int(xyxy[1]))
                 x2, y2 = int(xyxy[2]), int(xyxy[3])
                 if x2 > x1 and y2 > y1:
@@ -136,14 +150,15 @@ def main(opt):
                 f"</name><bndbox><xmin>{int(x1)}</xmin><ymin>{int(y1)}</ymin>"
                 f"<xmax>{int(x2)}</xmax><ymax>{int(y2)}</ymax></bndbox>"
                 f"</object>"
-                for x1, y1, x2, y2, cf, c in det
+                for x1, y1, x2, y2, cf, c in det[:, :6]
             )
             (save_dir / (stem + ".xml")).write_text(
                 f"<annotation><size><width>{w0}</width>"
                 f"<height>{h0}</height></size>{objs}</annotation>"
             )
         if not opt.nosave:
-            for *xyxy, conf, cls in det:
+            for row in det:
+                xyxy, conf, cls = row[:4], row[4], row[5]
                 c = int(cls)
                 color = (37 * c % 255, 17 * c % 255, 29 * c % 255)
                 cv2.rectangle(img0, (int(xyxy[0]), int(xyxy[1])),
@@ -151,6 +166,9 @@ def main(opt):
                 label = f"{names[c] if c < len(names) else c} {conf:.2f}"
                 cv2.putText(img0, label, (int(xyxy[0]), int(xyxy[1]) - 4),
                             cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
+                for k in range(npk):
+                    px, py = row[6 + 2 * k], row[7 + 2 * k]
+                    cv2.circle(img0, (int(px), int(py)), 3, color, -1)
             cv2.imwrite(str(save_dir / Path(img_path.split("#")[0]).name),
                         img0)
     print(f"results saved to {save_dir}")

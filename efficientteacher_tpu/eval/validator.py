@@ -55,9 +55,14 @@ def _scale_to_native(boxes: np.ndarray, letterbox_hw: Tuple[int, int],
 
 def make_infer_fn(model, nc: int, conf_thres: float, iou_thres: float,
                   max_det: int, max_nms: int, norm_scale: float,
-                  compute_dtype=jnp.bfloat16, approx_topk: bool = False):
+                  compute_dtype=jnp.bfloat16, approx_topk: bool = False,
+                  num_points: int = 0):
     """`approx_topk`: serving knob — approximate candidate selection in
-    NMS (ops/nms.py batched_nms); exact by default for parity."""
+    NMS (ops/nms.py batched_nms); exact by default for parity.
+    `num_points > 0`: keypoint models — keypoint channels ride through NMS
+    and the candidate gate/multi-label settings mirror the reference's
+    landmark path (val.py:333 calls non_max_suppression_lmk_and_bbox with
+    multi_label left False; gate is obj-only, general.py:791)."""
     @jax.jit
     def infer(variables, images_u8):
         x = images_u8.astype(compute_dtype) / norm_scale
@@ -70,11 +75,35 @@ def make_infer_fn(model, nc: int, conf_thres: float, iou_thres: float,
             decoded = out[0][0]
         return batched_nms(
             decoded, nc=nc, conf_thres=conf_thres, iou_thres=iou_thres,
-            multi_label=True, max_nms=max_nms, max_det=max_det,
-            approx_topk=approx_topk,
+            multi_label=num_points == 0, max_nms=max_nms, max_det=max_det,
+            approx_topk=approx_topk, n_extra=2 * num_points,
+            obj_gate=num_points > 0,
         )
 
     return infer
+
+
+def _scale_landmarks_to_native(kps: np.ndarray, letterbox_hw, native_hw,
+                               ratio_pad=None) -> np.ndarray:
+    """Host-side mirror of ops/boxes.scale_coords_landmarks (reference
+    utils/general.py:717-750) over interleaved (N, 2*np) pixel columns.
+    Coordinates < 0 mark invisible points and are preserved (the dataset's
+    invisibility contract, data/datasets.py verify_image_label)."""
+    lh, lw = letterbox_hw
+    nh, nw = native_hw
+    if ratio_pad is not None:
+        gain = ratio_pad[0][0]
+        padw, padh = ratio_pad[1]
+    else:
+        gain = min(lh / nh, lw / nw)
+        padw = (lw - nw * gain) / 2
+        padh = (lh - nh * gain) / 2
+    out = kps.astype(np.float32).copy()
+    invisible = out < 0
+    out[:, 0::2] = ((out[:, 0::2] - padw) / gain).clip(0, nw)
+    out[:, 1::2] = ((out[:, 1::2] - padh) / gain).clip(0, nh)
+    out[invisible] = -1.0
+    return out
 
 
 def run(
@@ -95,6 +124,8 @@ def run(
     is_coco: bool = False,
     plots_dir=None,
     names=(),
+    num_points: int = 0,
+    val_kp: bool = False,
 ):
     """Evaluate `model(variables)` over `loader`. Returns
     ((mp, mr, map50, map), per_class_maps, cls_thr).
@@ -104,7 +135,12 @@ def run(
     is_coco, category_id through the 80->91 map (reference val.py:263).
     COCOeval runs on it when coco_gt_json is given: official pycocotools if
     present, else the vendor-free re-scorer in eval/coco.py.
-    confusion: also accumulate a ConfusionMatrix (reference val.py)."""
+    confusion: also accumulate a ConfusionMatrix (reference val.py).
+    num_points > 0: keypoint model — detections carry 2*num_points keypoint
+    columns through NMS (reference val.py:333). val_kp switches the TP
+    matrix from box IoU to OKS matching (reference val.py:363-366 +
+    process_batch_oks :80-96); with val_kp False, keypoints are detected
+    but only boxes are validated, as upstream."""
     from .coco import (coco80_to_coco91_class, coco_image_id,
                        detections_to_json, run_cocoeval)
     from .metrics import ConfusionMatrix
@@ -117,7 +153,8 @@ def run(
     json_preds = []
     cm = ConfusionMatrix(nc) if confusion else None
     infer = make_infer_fn(model, nc, conf_thres, iou_thres, max_det,
-                          max_nms, norm_scale, compute_dtype)
+                          max_nms, norm_scale, compute_dtype,
+                          num_points=num_points)
     compiled_bs = None
     import time as _time
 
@@ -168,6 +205,10 @@ def run(
                 det = det.copy()
                 det[:, :4] = _scale_to_native(
                     det[:, :4], (lh, lw), native_hw, ratio_pad=rp)
+                if num_points > 0:  # keypoint cols follow [xyxy, conf, cls]
+                    det[:, 6:6 + 2 * num_points] = _scale_landmarks_to_native(
+                        det[:, 6:6 + 2 * num_points], (lh, lw), native_hw,
+                        ratio_pad=rp)
             if cm is not None:
                 cm.process_batch(det, lxyxy)
             if save_json is not None and len(det):
@@ -176,7 +217,35 @@ def run(
                     paths[bi] if paths else None, batch["indices"][bi]
                 )
                 json_preds.extend(detections_to_json(det, img_id, class_map))
-            correct = process_batch(det, lxyxy, iouv)
+            if num_points > 0 and val_kp:
+                # OKS TP matrix (reference val.py:363-366, process_batch_oks
+                # :80-96): GT keypoints normalized-letterbox -> native px
+                # (invisible <0 preserved), similarity scale = GT box area
+                from .keypoint_metrics import process_batch_kp
+
+                n2 = 2 * num_points
+                if len(lab):
+                    gt_kp = lab[:, 5:5 + n2].astype(np.float32).copy()
+                    inv = gt_kp < 0
+                    gt_kp[:, 0::2] *= lw
+                    gt_kp[:, 1::2] *= lh
+                    gt_kp[inv] = -1.0
+                    gt_kp = _scale_landmarks_to_native(
+                        gt_kp, (lh, lw), native_hw, ratio_pad=rp)
+                    gt_areas = ((lxyxy[:, 3] - lxyxy[:, 1])
+                                * (lxyxy[:, 4] - lxyxy[:, 2]))
+                else:
+                    gt_kp = np.zeros((0, n2), np.float32)
+                    gt_areas = np.zeros(0, np.float32)
+                correct = process_batch_kp(
+                    det[:, 6:6 + n2].reshape(-1, num_points, 2),
+                    det[:, 4] if len(det) else np.zeros(0),
+                    det[:, 5] if len(det) else np.zeros(0),
+                    gt_kp.reshape(-1, num_points, 2),
+                    lxyxy[:, 0], gt_areas, iouv,
+                )
+            else:
+                correct = process_batch(det, lxyxy, iouv)
             stats.append((
                 correct,
                 det[:, 4] if len(det) else np.zeros(0),

@@ -55,8 +55,21 @@ def decode_yolov5_scale(
     xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * stride
     wh = (y[..., 2:4] * 2.0) ** 2 * anchors_px[None, None, None, :, :]
     out = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
-    if no > 5 + nc:  # keypoint channels pass through un-sigmoided
-        out = jnp.concatenate([out, raw[..., 5 + nc :]], axis=-1)
+    if no > 5 + nc:
+        # keypoint channels -> absolute pixels. The loss trains raw*anchor
+        # as the cell-relative offset (losses/yolov5_loss.py keypoint
+        # branch, mirroring reference loss.py:175-179), so the inverse is
+        # kp_px = (raw * anchor_grid_units + cell) * stride
+        #       = raw * anchors_px + cell_px.
+        # Deliberate fix over the reference, whose eval decode ZEROES the
+        # keypoint channels (yolov5_head.py:72 `y = torch.full_like(x,0)`
+        # assigns only class_range) — keypoint inference is dead upstream.
+        npk2 = no - 5 - nc
+        kp = raw[..., 5 + nc :].reshape(raw.shape[:-1] + (npk2 // 2, 2))
+        kp = kp * anchors_px[None, None, None, :, None, :] \
+            + grid[..., None, :] * stride
+        out = jnp.concatenate(
+            [out, kp.reshape(raw.shape[:-1] + (npk2,))], axis=-1)
     # (B, ny, nx, na, no) -> (B, na, ny, nx, no) -> flatten, reference order
     out = jnp.transpose(out, (0, 3, 1, 2, 4))
     return out.reshape(b, na * ny * nx, no)

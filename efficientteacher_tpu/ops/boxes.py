@@ -106,6 +106,33 @@ def scale_coords(img1_shape, coords, img0_shape, ratio_pad=None):
     return out
 
 
+def scale_coords_landmarks(img1_shape, coords, img0_shape, num_points,
+                           ratio_pad=None):
+    """Rescale interleaved landmark columns [x0 y0 x1 y1 ...] from the
+    letterboxed `img1_shape` (h, w) back to native `img0_shape`.
+    Reference utils/general.py:717-750 scale_coords_landmarks: each
+    coordinate is pad-shifted, gain-divided, then clamped to the native
+    image individually (landmarks clamp per-coordinate, unlike boxes)."""
+    if ratio_pad is None:
+        gain = min(img1_shape[0] / img0_shape[0], img1_shape[1] / img0_shape[1])
+        pad = (
+            (img1_shape[1] - img0_shape[1] * gain) / 2,
+            (img1_shape[0] - img0_shape[0] * gain) / 2,
+        )
+    else:
+        gain = ratio_pad[0][0]
+        pad = ratio_pad[1]
+    n2 = num_points * 2
+    pts = coords[..., :n2].reshape(coords.shape[:-1] + (num_points, 2))
+    shift = jnp.array([pad[0], pad[1]], dtype=coords.dtype)
+    hi = jnp.array([img0_shape[1], img0_shape[0]], dtype=coords.dtype)
+    pts = jnp.clip((pts - shift) / gain, 0.0, hi)
+    out = pts.reshape(coords.shape[:-1] + (n2,))
+    if coords.shape[-1] > n2:
+        out = jnp.concatenate([out, coords[..., n2:]], axis=-1)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # IoU family
 # ---------------------------------------------------------------------------

@@ -143,19 +143,36 @@ def _prep_candidates(
     ssod: bool,
     tile: int,
     approx_topk: bool = False,
+    n_extra: int = 0,
+    obj_gate: bool = False,
 ):
-    """One image of raw predictions (N, 5+nc) -> score-sorted padded
-    candidate rows + offset boxes for suppression."""
+    """One image of raw predictions (N, 5+nc+n_extra) -> score-sorted padded
+    candidate rows + offset boxes for suppression.
+
+    n_extra > 0 carries the trailing prediction columns (keypoint/landmark
+    channels and any extras) through selection into the output rows —
+    reference non_max_suppression_lmk_and_bbox (utils/general.py:778-885)
+    appends x[:, 5+nc:] to every kept row. obj_gate mirrors that variant's
+    candidate gate (obj > conf only, general.py:791)."""
     obj = pred[:, 4]
     clsp = pred[:, 5 : 5 + nc]
     boxes_xyxy = xywh2xyxy(pred[:, :4])
     conf_mat = clsp * obj[:, None]  # conf = obj_conf * cls_conf
 
-    if ssod:
-        # reference non_max_suppression_ssod gate: obj > conf only
+    if ssod or obj_gate:
+        # reference non_max_suppression_ssod / _lmk_and_bbox gate:
+        # obj > conf only
         gate = obj > conf_thres
     else:
         gate = (obj > conf_thres) & (jnp.max(clsp, axis=-1) > conf_thres)
+
+    if ssod:
+        # [obj_conf, cls_conf] columns (general.py:887 ssod variant)
+        extra_mat = jnp.stack([obj, jnp.max(clsp, axis=-1)], axis=-1)
+    elif n_extra:
+        extra_mat = pred[:, 5 + nc : 5 + nc + n_extra]
+    else:
+        extra_mat = None
 
     if multi_label and nc > 1:
         # expand to (anchor, class) pairs; keep every pair above threshold
@@ -178,7 +195,7 @@ def _prep_candidates(
         cls = (top_idx % nc).astype(jnp.float32)
         cand_boxes = boxes_xyxy[anchor]
         cand_valid = top_scores > 0
-        extra = (obj[anchor], jnp.max(clsp, axis=-1)[anchor]) if ssod else ()
+        extra = extra_mat[anchor] if extra_mat is not None else None
     else:
         best_conf = jnp.max(conf_mat, axis=-1)
         best_cls = jnp.argmax(conf_mat, axis=-1).astype(jnp.float32)
@@ -188,7 +205,7 @@ def _prep_candidates(
         cand_boxes = boxes_xyxy[top_idx]
         cls = best_cls[top_idx]
         cand_valid = top_scores > 0
-        extra = (obj[top_idx], jnp.max(clsp, axis=-1)[top_idx]) if ssod else ()
+        extra = extra_mat[top_idx] if extra_mat is not None else None
 
     # pad candidate set up to a tile multiple (padding rows are invalid)
     k_eff = cand_boxes.shape[0]
@@ -200,15 +217,15 @@ def _prep_candidates(
         cls = jnp.pad(cls, (0, pad))
         top_scores = jnp.pad(top_scores, (0, pad), constant_values=-1.0)
         cand_valid = jnp.pad(cand_valid, (0, pad))
-        if ssod:
-            extra = tuple(jnp.pad(e, (0, pad)) for e in extra)
+        if extra is not None:
+            extra = jnp.pad(extra, ((0, pad), (0, 0)))
 
     offset = jnp.where(agnostic, 0.0, MAX_WH)
     nms_boxes = cand_boxes + (cls * offset)[:, None]
 
     cols = [cand_boxes, top_scores[:, None], cls[:, None]]
-    if ssod:
-        cols += [extra[0][:, None], extra[1][:, None]]
+    if extra is not None:
+        cols += [extra]
     rows = jnp.concatenate(cols, axis=-1)
     return nms_boxes, cand_valid, rows
 
@@ -218,6 +235,7 @@ def _prep_candidates(
     static_argnames=(
         "nc", "conf_thres", "iou_thres", "multi_label", "agnostic",
         "max_nms", "max_det", "ssod", "tile", "use_pallas", "approx_topk",
+        "n_extra", "obj_gate",
     ),
 )
 def batched_nms(
@@ -234,14 +252,21 @@ def batched_nms(
     tile: int = 256,
     use_pallas: bool | None = None,
     approx_topk: bool = False,
+    n_extra: int = 0,
+    obj_gate: bool = False,
 ) -> NMSOutput:
-    """Batched NMS over raw decoded predictions (B, N, 5+nc).
+    """Batched NMS over raw decoded predictions (B, N, 5+nc+n_extra).
 
     Returns fixed-shape `NMSOutput`:
       ssod=False -> detections (B, max_det, 6) = [x1 y1 x2 y2, conf, cls]
                     (reference non_max_suppression, general.py:994)
       ssod=True  -> detections (B, max_det, 8) = [..., obj_conf, cls_conf]
                     (reference non_max_suppression_ssod, general.py:887)
+      n_extra>0  -> detections (B, max_det, 6+n_extra): the trailing
+                    prediction columns (keypoints etc.) ride along
+                    (reference non_max_suppression_lmk_and_bbox,
+                    general.py:778); obj_gate=True mirrors its obj-only
+                    candidate gate
 
     `approx_topk=True` (serving knob, multi-label path only): select the
     max_nms candidate pairs with `lax.approx_max_k` instead of exact
@@ -260,6 +285,8 @@ def batched_nms(
         ssod=ssod,
         tile=tile,
         approx_topk=approx_topk,
+        n_extra=n_extra,
+        obj_gate=obj_gate,
     )
     nms_boxes, cand_valid, rows = jax.vmap(prep)(prediction)
     k = nms_boxes.shape[1]
@@ -303,6 +330,36 @@ def non_max_suppression(
         max_nms=max_nms,
         max_det=max_det,
         ssod=False,
+    )
+
+
+def non_max_suppression_lmk_and_bbox(
+    prediction,
+    conf_thres=0.25,
+    iou_thres=0.45,
+    agnostic=False,
+    num_points=0,
+    multi_label=False,
+    max_det=300,
+    max_nms=30000,
+):
+    """Keypoint/landmark NMS (reference utils/general.py:778-885
+    non_max_suppression_lmk_and_bbox): prediction layout
+    [xywh, obj, nc cls cols, 2*num_points keypoint cols, 1 trailing col];
+    kept rows are [xyxy, conf, cls, keypoints..., trailing]. Candidate gate
+    is obj > conf only (general.py:791), unlike the standard variant."""
+    nc = prediction.shape[2] - 5 - num_points * 2 - 1
+    return batched_nms(
+        prediction,
+        nc=nc,
+        conf_thres=float(conf_thres),
+        iou_thres=float(iou_thres),
+        multi_label=bool(multi_label),
+        agnostic=bool(agnostic),
+        max_nms=max_nms,
+        max_det=max_det,
+        n_extra=num_points * 2 + 1,
+        obj_gate=True,
     )
 
 

@@ -25,6 +25,10 @@ def parse_opt():
     parser.add_argument("--plots", type=str, default=None, metavar="DIR",
                         help="write PR/F1/P/R curve family (and the "
                              "confusion-matrix heatmap with --confusion)")
+    parser.add_argument("--val-kp", action="store_true",
+                        help="keypoint models (Dataset.np > 0): score with "
+                             "OKS matching instead of box IoU (reference "
+                             "val.py val_kp)")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     return parser.parse_args()
 
@@ -69,6 +73,7 @@ def main(opt):
         save_json=opt.save_json, coco_gt_json=opt.coco_gt,
         confusion=opt.confusion, is_coco=is_coco,
         plots_dir=opt.plots, names=list(cfg.Dataset.names),
+        num_points=int(cfg.Dataset.np), val_kp=opt.val_kp,
     )
     results, maps, cls_thr = out[:3]
     print("P=%.4f R=%.4f mAP50=%.4f mAP50-95=%.4f" % results)
