@@ -22,6 +22,12 @@ def parse_opt():
     parser.add_argument("--conf-thres", type=float, default=0.25)
     parser.add_argument("--iou-thres", type=float, default=0.45)
     parser.add_argument("--max-det", type=int, default=300)
+    parser.add_argument("--classes", type=int, nargs="+", default=None,
+                        help="filter detections to these class indices "
+                             "(reference detect.py --classes)")
+    parser.add_argument("--agnostic-nms", action="store_true",
+                        help="class-agnostic NMS (reference detect.py "
+                             "--agnostic-nms)")
     parser.add_argument("--save-dir", type=str, default="runs/detect")
     parser.add_argument("--save-txt", action="store_true")
     parser.add_argument("--save-crop", action="store_true",
@@ -86,6 +92,8 @@ def main(opt):
             decoded, nc=spec.nc, conf_thres=opt.conf_thres,
             iou_thres=opt.iou_thres, max_det=opt.max_det, max_nms=2048,
             n_extra=2 * npk, obj_gate=npk > 0,
+            classes=tuple(opt.classes) if opt.classes else None,
+            agnostic=opt.agnostic_nms,
         )
 
     for img_path, rgb, img0, _ in LoadImages(opt.source, opt.img_size):

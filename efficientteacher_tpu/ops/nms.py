@@ -145,9 +145,15 @@ def _prep_candidates(
     approx_topk: bool = False,
     n_extra: int = 0,
     obj_gate: bool = False,
+    classes: tuple | None = None,
 ):
     """One image of raw predictions (N, 5+nc+n_extra) -> score-sorted padded
     candidate rows + offset boxes for suppression.
+
+    classes: keep only these class indices (reference non_max_suppression's
+    `classes` filter, utils/general.py:1049-1051 `x[(x[:, 5:6] ==
+    classes).any(1)]`) — applied before the max_nms candidate cap, as
+    upstream filters before its top-k truncation.
 
     n_extra > 0 carries the trailing prediction columns (keypoint/landmark
     channels and any extras) through selection into the output rows —
@@ -174,9 +180,16 @@ def _prep_candidates(
     else:
         extra_mat = None
 
+    allowed = None
+    if classes is not None:
+        allowed = jnp.zeros((nc,), bool).at[jnp.asarray(classes)].set(True)
+
     if multi_label and nc > 1:
         # expand to (anchor, class) pairs; keep every pair above threshold
-        score = jnp.where(gate[:, None] & (conf_mat > conf_thres), conf_mat, -1.0)
+        keep_pair = gate[:, None] & (conf_mat > conf_thres)
+        if allowed is not None:
+            keep_pair = keep_pair & allowed[None, :]
+        score = jnp.where(keep_pair, conf_mat, -1.0)
         flat = score.reshape(-1)
         k_eff = min(max_nms, flat.shape[0])
         if approx_topk and k_eff < flat.shape[0]:
@@ -198,8 +211,14 @@ def _prep_candidates(
         extra = extra_mat[anchor] if extra_mat is not None else None
     else:
         best_conf = jnp.max(conf_mat, axis=-1)
-        best_cls = jnp.argmax(conf_mat, axis=-1).astype(jnp.float32)
-        score = jnp.where(gate & (best_conf > conf_thres), best_conf, -1.0)
+        best_idx = jnp.argmax(conf_mat, axis=-1)
+        best_cls = best_idx.astype(jnp.float32)
+        keep_row = gate & (best_conf > conf_thres)
+        if allowed is not None:
+            # reference filters rows by their argmax class, it does not
+            # re-argmax over the allowed subset (general.py:1049-1051)
+            keep_row = keep_row & allowed[best_idx]
+        score = jnp.where(keep_row, best_conf, -1.0)
         k_eff = min(max_nms, score.shape[0])
         top_scores, top_idx = jax.lax.top_k(score, k_eff)
         cand_boxes = boxes_xyxy[top_idx]
@@ -235,7 +254,7 @@ def _prep_candidates(
     static_argnames=(
         "nc", "conf_thres", "iou_thres", "multi_label", "agnostic",
         "max_nms", "max_det", "ssod", "tile", "use_pallas", "approx_topk",
-        "n_extra", "obj_gate",
+        "n_extra", "obj_gate", "classes",
     ),
 )
 def batched_nms(
@@ -254,6 +273,7 @@ def batched_nms(
     approx_topk: bool = False,
     n_extra: int = 0,
     obj_gate: bool = False,
+    classes: tuple | None = None,
 ) -> NMSOutput:
     """Batched NMS over raw decoded predictions (B, N, 5+nc+n_extra).
 
@@ -287,6 +307,7 @@ def batched_nms(
         approx_topk=approx_topk,
         n_extra=n_extra,
         obj_gate=obj_gate,
+        classes=classes,
     )
     nms_boxes, cand_valid, rows = jax.vmap(prep)(prediction)
     k = nms_boxes.shape[1]
@@ -313,6 +334,7 @@ def non_max_suppression(
     prediction,
     conf_thres=0.25,
     iou_thres=0.45,
+    classes=None,
     agnostic=False,
     multi_label=False,
     max_det=300,
@@ -330,6 +352,7 @@ def non_max_suppression(
         max_nms=max_nms,
         max_det=max_det,
         ssod=False,
+        classes=tuple(classes) if classes is not None else None,
     )
 
 

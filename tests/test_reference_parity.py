@@ -238,6 +238,36 @@ def test_nms_parity(multi_label):
                                       w[:, 5].astype(int))
 
 
+@pytest.mark.parametrize("multi_label", [False, True])
+def test_nms_parity_classes_filter(multi_label):
+    """`classes=[...]` filter (reference utils/general.py:1049-1051): only
+    the listed class indices survive, same rows as upstream."""
+    ns = load_reference()
+    rng = np.random.default_rng(13)
+    pred = _random_decoded_preds(rng, B=2, N=300, nc=20)
+    classes = [1, 4, 7]
+
+    want = ns.general.non_max_suppression(
+        torch.from_numpy(pred), conf_thres=0.25, iou_thres=0.5,
+        classes=classes, multi_label=multi_label,
+    )
+    got = our_nms.non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.25, iou_thres=0.5,
+        classes=classes, multi_label=multi_label,
+    )
+    dets = np.asarray(got.detections)
+    valid = np.asarray(got.valid)
+    for bi in range(pred.shape[0]):
+        w = want[bi].numpy()
+        g = dets[bi][valid[bi]]
+        assert len(g) == len(w), f"image {bi}: {len(g)} vs {len(w)} kept"
+        assert set(np.unique(g[:, 5]).astype(int)) <= set(classes)
+        np.testing.assert_allclose(g[:, 4], w[:, 4], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(g[:, :4], w[:, :4], rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(g[:, 5].astype(int),
+                                      w[:, 5].astype(int))
+
+
 def test_nms_parity_ssod_columns():
     """non_max_suppression_ssod (reference utils/general.py:887) carries
     [xyxy, conf, cls, obj_conf, cls_conf]."""
