@@ -1,12 +1,15 @@
 """Keypoint evaluation: OKS (object keypoint similarity) AP.
 
-Fills the reference's val_kp branch (val.py:80-96 keypoint OKS evaluation):
+Fills the reference's val_kp branch (val.py:80-96 process_batch_oks):
 per-detection OKS against GT keypoint sets, then the same 101-point AP
 machinery as boxes over OKS thresholds [.5:.95].
 
-OKS = sum_i exp(-d_i^2 / (2 s^2 k_i^2)) * v_i / sum_i v_i, with s^2 the GT
-box area and k_i per-keypoint constants (uniform fallback when the dataset
-defines none).
+OKS mirrors reference utils/metrics.py:453-482 `oks_iou` exactly:
+sigmas = 0.1 per keypoint, vars = (2*sigmas)^2; the similarity scale is
+the GT KEYPOINT-HULL bbox area (poly2hbb over the keypoints themselves,
+metrics.py:424-451), e = d^2 / vars / (area + eps) / 2, and the score is
+the UNMASKED mean over all keypoints — invisible (-1, -1) GT entries
+contribute their raw distance, exactly as upstream computes it.
 """
 
 from __future__ import annotations
@@ -18,35 +21,34 @@ from .metrics import ap_per_class
 
 def oks(
     pred_kps: np.ndarray,   # (P, np, 2) pixels
-    gt_kps: np.ndarray,     # (G, np, 2) pixels, <0 marks invisible
-    gt_areas: np.ndarray,   # (G,) box areas
-    kappas: np.ndarray | None = None,
+    gt_kps: np.ndarray,     # (G, np, 2) pixels
+    sigmas: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Pairwise OKS matrix (G, P)."""
-    g, npk = gt_kps.shape[0], gt_kps.shape[1]
-    p = pred_kps.shape[0]
-    if kappas is None:
-        kappas = np.full(npk, 0.05)
-    vis = (gt_kps >= 0).all(-1)                         # (G, np)
-    d2 = ((gt_kps[:, None] - pred_kps[None]) ** 2).sum(-1)  # (G, P, np)
-    s2 = np.maximum(gt_areas, 1.0)[:, None, None]
-    e = d2 / (2.0 * s2 * (kappas[None, None, :] ** 2) + 1e-9)
-    sim = np.exp(-e) * vis[:, None, :]
-    denom = np.maximum(vis.sum(-1), 1)[:, None]
-    return sim.sum(-1) / denom
+    """Pairwise OKS matrix (G, P) — reference utils/metrics.py:453 oks_iou."""
+    npk = gt_kps.shape[1]
+    if sigmas is None:
+        sigmas = np.full(npk, 0.1)      # metrics.py:457
+    vars_ = (2.0 * sigmas) ** 2         # metrics.py:458
+    # GT scale = keypoint-hull bbox area (poly2hbb, metrics.py:424-451),
+    # over the raw keypoint values including any -1 invisibility markers
+    x, y = gt_kps[..., 0], gt_kps[..., 1]
+    area = (x.max(-1) - x.min(-1)) * (y.max(-1) - y.min(-1))  # (G,)
+    d2 = ((gt_kps[:, None] - pred_kps[None]) ** 2).sum(-1)    # (G, P, np)
+    e = d2 / vars_[None, None, :] / (area[:, None, None] + np.spacing(1)) / 2
+    return np.exp(-e).mean(-1)          # unmasked mean (metrics.py:481)
 
 
 def process_batch_kp(
     pred_kps: np.ndarray, pred_conf: np.ndarray, pred_cls: np.ndarray,
-    gt_kps: np.ndarray, gt_cls: np.ndarray, gt_areas: np.ndarray,
+    gt_kps: np.ndarray, gt_cls: np.ndarray,
     thresholds: np.ndarray,
 ) -> np.ndarray:
-    """TP matrix (P, T) by greedy OKS matching (mirror of box
-    process_batch)."""
+    """TP matrix (P, T) by greedy OKS matching (reference val.py:80-96
+    process_batch_oks)."""
     correct = np.zeros((len(pred_kps), len(thresholds)), bool)
     if len(gt_kps) == 0 or len(pred_kps) == 0:
         return correct
-    sim = oks(pred_kps, gt_kps, gt_areas)               # (G, P)
+    sim = oks(pred_kps, gt_kps)                         # (G, P)
     cls_ok = gt_cls[:, None] == pred_cls[None, :]
     for t in range(len(thresholds)):
         gi, pi = np.where((sim >= thresholds[t]) & cls_ok)

@@ -84,11 +84,15 @@ def make_infer_fn(model, nc: int, conf_thres: float, iou_thres: float,
 
 
 def _scale_landmarks_to_native(kps: np.ndarray, letterbox_hw, native_hw,
-                               ratio_pad=None) -> np.ndarray:
+                               ratio_pad=None,
+                               preserve_invisible: bool = False) -> np.ndarray:
     """Host-side mirror of ops/boxes.scale_coords_landmarks (reference
     utils/general.py:717-750) over interleaved (N, 2*np) pixel columns.
-    Coordinates < 0 mark invisible points and are preserved (the dataset's
-    invisibility contract, data/datasets.py verify_image_label)."""
+    Predicted keypoints are clamped to [0, native] per coordinate like the
+    reference (general.py:731-735 clamp_). `preserve_invisible=True` is the
+    GT path only: coordinates < 0 mark invisible points in the dataset's
+    label contract (data/datasets.py verify_image_label) and ride through
+    unchanged so OKS sees them exactly as stored."""
     lh, lw = letterbox_hw
     nh, nw = native_hw
     if ratio_pad is not None:
@@ -102,7 +106,8 @@ def _scale_landmarks_to_native(kps: np.ndarray, letterbox_hw, native_hw,
     invisible = out < 0
     out[:, 0::2] = ((out[:, 0::2] - padw) / gain).clip(0, nw)
     out[:, 1::2] = ((out[:, 1::2] - padh) / gain).clip(0, nh)
-    out[invisible] = -1.0
+    if preserve_invisible:
+        out[invisible] = -1.0
     return out
 
 
@@ -213,14 +218,20 @@ def run(
                 cm.process_batch(det, lxyxy)
             if save_json is not None and len(det):
                 paths = batch.get("paths")
+                indices = batch.get("indices")
                 img_id = coco_image_id(
-                    paths[bi] if paths else None, batch["indices"][bi]
+                    paths[bi] if paths else None,
+                    indices[bi] if indices is not None else n_images - bs + bi,
                 )
-                json_preds.extend(detections_to_json(det, img_id, class_map))
+                # detections_to_json unpacks 6-column rows; keypoint columns
+                # (cols 6+) must not leak into its `*xyxy, conf, cls` unpack
+                json_preds.extend(
+                    detections_to_json(det[:, :6], img_id, class_map))
             if num_points > 0 and val_kp:
                 # OKS TP matrix (reference val.py:363-366, process_batch_oks
                 # :80-96): GT keypoints normalized-letterbox -> native px
-                # (invisible <0 preserved), similarity scale = GT box area
+                # (invisible <0 preserved on the GT path only); similarity
+                # scale = GT keypoint-hull area inside oks (metrics.py:453)
                 from .keypoint_metrics import process_batch_kp
 
                 n2 = 2 * num_points
@@ -231,18 +242,16 @@ def run(
                     gt_kp[:, 1::2] *= lh
                     gt_kp[inv] = -1.0
                     gt_kp = _scale_landmarks_to_native(
-                        gt_kp, (lh, lw), native_hw, ratio_pad=rp)
-                    gt_areas = ((lxyxy[:, 3] - lxyxy[:, 1])
-                                * (lxyxy[:, 4] - lxyxy[:, 2]))
+                        gt_kp, (lh, lw), native_hw, ratio_pad=rp,
+                        preserve_invisible=True)
                 else:
                     gt_kp = np.zeros((0, n2), np.float32)
-                    gt_areas = np.zeros(0, np.float32)
                 correct = process_batch_kp(
                     det[:, 6:6 + n2].reshape(-1, num_points, 2),
                     det[:, 4] if len(det) else np.zeros(0),
                     det[:, 5] if len(det) else np.zeros(0),
                     gt_kp.reshape(-1, num_points, 2),
-                    lxyxy[:, 0], gt_areas, iouv,
+                    lxyxy[:, 0], iouv,
                 )
             else:
                 correct = process_batch(det, lxyxy, iouv)

@@ -137,10 +137,12 @@ class _OneBatchLoader:
         return iter([self.batch])
 
 
-def test_keypoint_val_e2e():
+def test_keypoint_val_e2e(tmp_path):
     """Keypoint model -> decode -> lmk NMS -> validator with OKS matching
     (reference val.py:333 + :363-366): runs end-to-end, detections carry
-    2*np columns, and both val_kp modes return finite metrics."""
+    2*np columns, both val_kp modes return finite metrics, and the COCO
+    JSON export sees only the 6 box columns (keypoint cols must not leak
+    into its `*xyxy, conf, cls` unpack)."""
     from efficientteacher_tpu.eval import validator
 
     cfg = get_cfg()
@@ -180,10 +182,20 @@ def test_keypoint_val_e2e():
     assert out.detections.shape[-1] == 6 + 2 * npk
 
     for val_kp in (False, True):
+        json_path = str(tmp_path / f"preds_{val_kp}.json")
         (mp, mr, map50, map_), maps, cls_thr = validator.run(
             model, variables, _OneBatchLoader(batch), nc=2,
             conf_thres=0.001, iou_thres=0.6, max_det=30, max_nms=512,
             compute_dtype=jnp.float32, num_points=npk, val_kp=val_kp,
+            save_json=json_path,
         )[:3]
         for v in (mp, mr, map50, map_):
             assert np.isfinite(v)
+        import json
+
+        preds = json.load(open(json_path))
+        assert preds, "keypoint model produced no JSON detections"
+        for p in preds:
+            assert len(p["bbox"]) == 4
+            assert 0 <= p["category_id"] < 2  # cls, not a keypoint coord
+            assert 0.0 <= p["score"] <= 1.0
