@@ -375,38 +375,35 @@ def main():
     try:
         # serving path: the validator's exact jitted program (bf16 forward
         # + decode + multi-label exact-greedy NMS at eval settings
-        # conf 0.001 / iou 0.6 / max_nms 30000) at b32@640
+        # conf 0.001 / iou 0.6 / max_nms 30000) at b32@640. The default
+        # candidate selection on TPU is the exact Pallas row-gather path
+        # (ops/select_pallas.py) — bit-identical to lax.top_k.
         from efficientteacher_tpu.eval.validator import make_infer_fn
 
-        infer = make_infer_fn(model, nc=80, conf_thres=0.001, iou_thres=0.6,
-                              max_det=300, max_nms=30000, norm_scale=255.0)
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
-        for _ in range(8):  # compile + tunnel warm
-            det, nvalid = infer(variables, images)[:2]
+
+        def _time_infer(infer, reps=15):
+            for _ in range(8):  # compile + tunnel warm
+                det, _ = infer(variables, images)[:2]
+                float(jnp.asarray(det).sum())
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                det, _ = infer(variables, images)[:2]
             float(jnp.asarray(det).sum())
-        t0 = time.perf_counter()
-        reps = 15
-        for _ in range(reps):
-            det, nvalid = infer(variables, images)[:2]
-        float(jnp.asarray(det).sum())
-        dt = (time.perf_counter() - t0) / reps
+            return (time.perf_counter() - t0) / reps
+
+        dt = _time_infer(make_infer_fn(
+            model, nc=80, conf_thres=0.001, iou_thres=0.6, max_det=300,
+            max_nms=30000, norm_scale=255.0))
         aux["eval_fwd_nms_imgs_per_sec"] = round(b / dt, 2)
         aux["eval_fwd_nms_ms_per_img"] = round(dt / b * 1e3, 3)
 
-        # serving knob: approx candidate selection (exact greedy NMS after)
-        infer_a = make_infer_fn(model, nc=80, conf_thres=0.001,
-                                iou_thres=0.6, max_det=300, max_nms=30000,
-                                norm_scale=255.0, approx_topk=True)
-        for _ in range(8):
-            det, _ = infer_a(variables, images)[:2]
-            float(jnp.asarray(det).sum())
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            det, _ = infer_a(variables, images)[:2]
-        float(jnp.asarray(det).sum())
-        dt = (time.perf_counter() - t0) / reps
-        aux["eval_fwd_nms_approx_imgs_per_sec"] = round(b / dt, 2)
+        # comparison: the XLA exact-TopK selection this kernel replaces
+        dt = _time_infer(make_infer_fn(
+            model, nc=80, conf_thres=0.001, iou_thres=0.6, max_det=300,
+            max_nms=30000, norm_scale=255.0, selection="exact"))
+        aux["eval_fwd_nms_xla_topk_ms_per_img"] = round(dt / b * 1e3, 3)
     except Exception as e:
         aux["eval_error"] = f"{type(e).__name__}: {e}"
     try:

@@ -56,9 +56,12 @@ def _scale_to_native(boxes: np.ndarray, letterbox_hw: Tuple[int, int],
 def make_infer_fn(model, nc: int, conf_thres: float, iou_thres: float,
                   max_det: int, max_nms: int, norm_scale: float,
                   compute_dtype=jnp.bfloat16, approx_topk: bool = False,
-                  num_points: int = 0):
-    """`approx_topk`: serving knob — approximate candidate selection in
-    NMS (ops/nms.py batched_nms); exact by default for parity.
+                  num_points: int = 0, selection: str | None = None):
+    """`selection`: candidate-selection engine (ops/nms.py batched_nms) —
+    None auto-picks the exact Pallas row-gather path on TPU.
+    `approx_topk`: legacy serving knob — approximate candidate selection
+    (recall 0.95); the Pallas path is both exact AND faster, so this is
+    kept only for comparison.
     `num_points > 0`: keypoint models — keypoint channels ride through NMS
     and the candidate gate/multi-label settings mirror the reference's
     landmark path (val.py:333 calls non_max_suppression_lmk_and_bbox with
@@ -77,7 +80,7 @@ def make_infer_fn(model, nc: int, conf_thres: float, iou_thres: float,
             decoded, nc=nc, conf_thres=conf_thres, iou_thres=iou_thres,
             multi_label=num_points == 0, max_nms=max_nms, max_det=max_det,
             approx_topk=approx_topk, n_extra=2 * num_points,
-            obj_gate=num_points > 0,
+            obj_gate=num_points > 0, selection=selection,
         )
 
     return infer
@@ -131,6 +134,8 @@ def run(
     names=(),
     num_points: int = 0,
     val_kp: bool = False,
+    selection: Optional[str] = None,
+    approx_topk: bool = False,
 ):
     """Evaluate `model(variables)` over `loader`. Returns
     ((mp, mr, map50, map), per_class_maps, cls_thr).
@@ -159,7 +164,8 @@ def run(
     cm = ConfusionMatrix(nc) if confusion else None
     infer = make_infer_fn(model, nc, conf_thres, iou_thres, max_det,
                           max_nms, norm_scale, compute_dtype,
-                          num_points=num_points)
+                          num_points=num_points, selection=selection,
+                          approx_topk=approx_topk)
     compiled_bs = None
     import time as _time
 

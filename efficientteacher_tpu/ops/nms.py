@@ -133,22 +133,9 @@ class NMSOutput(NamedTuple):
     valid: jnp.ndarray       # (B, max_det) bool
 
 
-def _prep_candidates(
-    pred: jnp.ndarray,
-    nc: int,
-    conf_thres: float,
-    multi_label: bool,
-    agnostic: bool,
-    max_nms: int,
-    ssod: bool,
-    tile: int,
-    approx_topk: bool = False,
-    n_extra: int = 0,
-    obj_gate: bool = False,
-    classes: tuple | None = None,
-):
-    """One image of raw predictions (N, 5+nc+n_extra) -> score-sorted padded
-    candidate rows + offset boxes for suppression.
+def _gate_and_extras(pred, nc, conf_thres, ssod, n_extra, obj_gate, classes):
+    """Shared candidate gating: boxes, per-(row, class) confidences, the
+    row gate, optional extra columns, and the `classes` filter mask.
 
     classes: keep only these class indices (reference non_max_suppression's
     `classes` filter, utils/general.py:1049-1051 `x[(x[:, 5:6] ==
@@ -183,51 +170,26 @@ def _prep_candidates(
     allowed = None
     if classes is not None:
         allowed = jnp.zeros((nc,), bool).at[jnp.asarray(classes)].set(True)
+    return boxes_xyxy, conf_mat, gate, extra_mat, allowed
 
-    if multi_label and nc > 1:
-        # expand to (anchor, class) pairs; keep every pair above threshold
-        keep_pair = gate[:, None] & (conf_mat > conf_thres)
-        if allowed is not None:
-            keep_pair = keep_pair & allowed[None, :]
-        score = jnp.where(keep_pair, conf_mat, -1.0)
-        flat = score.reshape(-1)
-        k_eff = min(max_nms, flat.shape[0])
-        if approx_topk and k_eff < flat.shape[0]:
-            # serving knob: XLA's exact TopK over the (anchors*nc) pair
-            # lattice costs ~2.3-5.3 ms/img on TPU at eval density
-            # (measured; it is the algorithm's floor, not bandwidth —
-            # a count pass over the same array is ~0.1 ms/img).
-            # approx_max_k (recall ~0.95 over the sub-threshold tail)
-            # trades the lowest-conf tail candidates for ~40% of the
-            # selection cost; greedy NMS afterwards stays exact.
-            top_scores, top_idx = jax.lax.approx_max_k(
-                flat, k_eff, recall_target=0.95)
-        else:
-            top_scores, top_idx = jax.lax.top_k(flat, k_eff)
-        anchor = top_idx // nc
-        cls = (top_idx % nc).astype(jnp.float32)
-        cand_boxes = boxes_xyxy[anchor]
-        cand_valid = top_scores > 0
-        extra = extra_mat[anchor] if extra_mat is not None else None
-    else:
-        best_conf = jnp.max(conf_mat, axis=-1)
-        best_idx = jnp.argmax(conf_mat, axis=-1)
-        best_cls = best_idx.astype(jnp.float32)
-        keep_row = gate & (best_conf > conf_thres)
-        if allowed is not None:
-            # reference filters rows by their argmax class, it does not
-            # re-argmax over the allowed subset (general.py:1049-1051)
-            keep_row = keep_row & allowed[best_idx]
-        score = jnp.where(keep_row, best_conf, -1.0)
-        k_eff = min(max_nms, score.shape[0])
-        top_scores, top_idx = jax.lax.top_k(score, k_eff)
-        cand_boxes = boxes_xyxy[top_idx]
-        cls = best_cls[top_idx]
-        cand_valid = top_scores > 0
-        extra = extra_mat[top_idx] if extra_mat is not None else None
 
-    # pad candidate set up to a tile multiple (padding rows are invalid)
+def _pair_scores(pred, nc, conf_thres, ssod, n_extra, obj_gate, classes):
+    """Multi-label (anchor, class) pair lattice: masked flat scores
+    (anchors * nc,) with non-candidates at -1, candidates strictly > 0
+    (reference general.py:1058 multi-label expansion)."""
+    boxes_xyxy, conf_mat, gate, extra_mat, allowed = _gate_and_extras(
+        pred, nc, conf_thres, ssod, n_extra, obj_gate, classes)
+    keep_pair = gate[:, None] & (conf_mat > conf_thres)
+    if allowed is not None:
+        keep_pair = keep_pair & allowed[None, :]
+    score = jnp.where(keep_pair, conf_mat, -1.0)
+    return score.reshape(-1), boxes_xyxy, extra_mat
+
+
+def _finish_candidates(top_scores, cand_boxes, cls, extra, agnostic, tile):
+    """Score-sorted candidates -> tile-padded offset boxes + output rows."""
     k_eff = cand_boxes.shape[0]
+    cand_valid = top_scores > 0
     tile = min(tile, max(128, 1 << (k_eff - 1).bit_length()))
     k_pad = -(-k_eff // tile) * tile
     if k_pad != k_eff:
@@ -249,12 +211,57 @@ def _prep_candidates(
     return nms_boxes, cand_valid, rows
 
 
+def _finish_pairs(top_scores, top_idx, boxes_xyxy, extra_mat, nc, agnostic,
+                  tile):
+    """Gather selected (anchor, class) pairs into candidate rows."""
+    anchor = top_idx // nc
+    cls = (top_idx % nc).astype(jnp.float32)
+    cand_boxes = boxes_xyxy[anchor]
+    extra = extra_mat[anchor] if extra_mat is not None else None
+    return _finish_candidates(top_scores, cand_boxes, cls, extra, agnostic,
+                              tile)
+
+
+def _prep_candidates_single(
+    pred: jnp.ndarray,
+    nc: int,
+    conf_thres: float,
+    max_nms: int,
+    ssod: bool,
+    tile: int,
+    agnostic: bool,
+    n_extra: int = 0,
+    obj_gate: bool = False,
+    classes: tuple | None = None,
+):
+    """Single-label path (best class per row, reference general.py:1061):
+    one image of raw predictions -> score-sorted padded candidates."""
+    boxes_xyxy, conf_mat, gate, extra_mat, allowed = _gate_and_extras(
+        pred, nc, conf_thres, ssod, n_extra, obj_gate, classes)
+    best_conf = jnp.max(conf_mat, axis=-1)
+    best_idx = jnp.argmax(conf_mat, axis=-1)
+    best_cls = best_idx.astype(jnp.float32)
+    keep_row = gate & (best_conf > conf_thres)
+    if allowed is not None:
+        # reference filters rows by their argmax class, it does not
+        # re-argmax over the allowed subset (general.py:1049-1051)
+        keep_row = keep_row & allowed[best_idx]
+    score = jnp.where(keep_row, best_conf, -1.0)
+    k_eff = min(max_nms, score.shape[0])
+    top_scores, top_idx = jax.lax.top_k(score, k_eff)
+    cand_boxes = boxes_xyxy[top_idx]
+    cls = best_cls[top_idx]
+    extra = extra_mat[top_idx] if extra_mat is not None else None
+    return _finish_candidates(top_scores, cand_boxes, cls, extra, agnostic,
+                              tile)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "nc", "conf_thres", "iou_thres", "multi_label", "agnostic",
         "max_nms", "max_det", "ssod", "tile", "use_pallas", "approx_topk",
-        "n_extra", "obj_gate", "classes",
+        "n_extra", "obj_gate", "classes", "selection",
     ),
 )
 def batched_nms(
@@ -274,6 +281,7 @@ def batched_nms(
     n_extra: int = 0,
     obj_gate: bool = False,
     classes: tuple | None = None,
+    selection: str | None = None,
 ) -> NMSOutput:
     """Batched NMS over raw decoded predictions (B, N, 5+nc+n_extra).
 
@@ -288,28 +296,68 @@ def batched_nms(
                     general.py:778); obj_gate=True mirrors its obj-only
                     candidate gate
 
-    `approx_topk=True` (serving knob, multi-label path only): select the
-    max_nms candidate pairs with `lax.approx_max_k` instead of exact
-    TopK. Only the ordering/membership of the lowest-confidence tail of
-    the candidate set can differ; the greedy suppression sweep itself
-    stays exact. Default off — the parity suites all run exact.
+    `selection` picks the multi-label max_nms candidate-selection engine
+    (reference general.py:1024,1061 top-k cap semantics):
+      "pallas" — EXACT selection via the threshold-compaction kernel
+                 (ops/select_pallas.py); same rows, same tie order as
+                 lax.top_k at ~1/10 the cost on TPU
+      "exact"  — jax.lax.top_k (the measured TPU serving floor)
+      "approx" — lax.approx_max_k, recall 0.95 over the sub-threshold
+                 tail (legacy serving knob; approx_topk=True maps here)
+      None     — auto: "pallas" on TPU when the pair lattice is large
+                 enough to pay for it, else "exact".
     """
     prediction = prediction.astype(jnp.float32)
-    prep = functools.partial(
-        _prep_candidates,
-        nc=nc,
-        conf_thres=conf_thres,
-        multi_label=multi_label,
-        agnostic=agnostic,
-        max_nms=max_nms,
-        ssod=ssod,
-        tile=tile,
-        approx_topk=approx_topk,
-        n_extra=n_extra,
-        obj_gate=obj_gate,
-        classes=classes,
-    )
-    nms_boxes, cand_valid, rows = jax.vmap(prep)(prediction)
+    if multi_label and nc > 1:
+        build = functools.partial(
+            _pair_scores, nc=nc, conf_thres=conf_thres, ssod=ssod,
+            n_extra=n_extra, obj_gate=obj_gate, classes=classes,
+        )
+        flat, boxes_xyxy, extra_mat = jax.vmap(build)(prediction)
+        k_eff = min(max_nms, flat.shape[1])
+        if selection is None:
+            if approx_topk and k_eff < flat.shape[1]:
+                selection = "approx"
+            elif (jax.default_backend() == "tpu"
+                  and flat.shape[1] >= 4 * k_eff):
+                selection = "pallas"
+            else:
+                selection = "exact"
+        if selection == "pallas":
+            from .select_pallas import exact_topk_flat
+
+            top_scores, top_idx = exact_topk_flat(
+                flat, k_eff, interpret=jax.default_backend() != "tpu")
+        elif selection == "approx" and k_eff < flat.shape[1]:
+            # recall-0.95 approximate selection: only the lowest-conf
+            # candidate tail can differ; the greedy sweep stays exact
+            top_scores, top_idx = jax.lax.approx_max_k(
+                flat, k_eff, recall_target=0.95)
+        else:
+            top_scores, top_idx = jax.lax.top_k(flat, k_eff)
+        finish = functools.partial(_finish_pairs, nc=nc, agnostic=agnostic,
+                                   tile=tile)
+        if extra_mat is None:
+            nms_boxes, cand_valid, rows = jax.vmap(
+                lambda s, i, bx: finish(s, i, bx, None)
+            )(top_scores, top_idx, boxes_xyxy)
+        else:
+            nms_boxes, cand_valid, rows = jax.vmap(finish)(
+                top_scores, top_idx, boxes_xyxy, extra_mat)
+    else:
+        prep = functools.partial(
+            _prep_candidates_single,
+            nc=nc,
+            conf_thres=conf_thres,
+            max_nms=max_nms,
+            ssod=ssod,
+            tile=tile,
+            agnostic=agnostic,
+            n_extra=n_extra,
+            obj_gate=obj_gate,
+            classes=classes,
+        )
+        nms_boxes, cand_valid, rows = jax.vmap(prep)(prediction)
     k = nms_boxes.shape[1]
     eff_tile = min(tile, k)
     if use_pallas is None:

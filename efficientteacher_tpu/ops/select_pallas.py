@@ -1,0 +1,284 @@
+"""Exact top-k candidate selection over the NMS pair lattice (Pallas TPU).
+
+Replaces `jax.lax.top_k` over the flat (anchors * classes) multi-label
+candidate lattice in eval NMS (reference utils/general.py:1024,1061 —
+the max_nms=30000 candidate cap + score sort). XLA's exact TopK is the
+measured eval-serving floor on TPU: ~129 ms of a 160 ms b32@640 batch,
+~20x off bandwidth and ~flat in k and shape, because its sort network
+touches every element O(log) times. TPU has no fast global
+scatter/compaction either (cumsum+scatter of the lattice: 648 ms), so
+this module implements selection the TPU way, at 128-lane ROW
+granularity (candidates cluster into rows: one hot anchor lights a run
+of class columns):
+
+  1. one bandwidth pass marks live rows of the (B, N/128, 128) lattice;
+  2. the Pallas compaction kernel packs the live ROW INDICES in
+     ascending order — a ~16k-element problem, ~1 ms;
+  3. an XLA row-gather assembles the live rows into a dense
+     (rows_cap * 128) buffer — 64x smaller than the lattice;
+  4. a small `lax.top_k` orders the buffer. Buffer order =
+     (ascending row, ascending lane) = ascending flat index, so the
+     tie semantics match exact TopK row-for-row.
+
+Tiering keeps it exact at any density: rows_cap 256 normally, 1024 when
+crowded, raw lax.top_k for the pathological tail (untrained model at
+eval thresholds) — chosen by one `lax.cond` on the batch's max live-row
+count, so only the taken tier executes.
+
+The compaction kernel packs survivors with the classic TPU idiom:
+within-block positions via a triangular-matrix matmul (MXU cumsum),
+block-local compaction as a one-hot permutation matmul (HIGHEST
+precision — the one-hot is bf16-exact so the product is bit-exact),
+and a running write offset across the sequential grid kept in SMEM.
+Mosaic only lowers lane-dim dynamic stores at 128-aligned offsets, so
+the offset advances in whole 128-lane groups with a (3, 128) carry
+buffer holding the remainder (see _compact_kernel).
+
+Measured (v5e, b32, (25200 x 80) lattice, 26-33k candidates/img):
+selection 24 ms/batch vs lax.top_k 134 ms; full eval NMS 35 ms/batch =
+1.1 ms/img vs 4.9 exact — identical outputs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_S = 512           # sub-block size (one compaction unit), 4 x 128 lanes
+_W = _S + 128       # combined slab width: carry row + sub-block survivors
+_IDX_SPLIT = 4096  # flat index carried as (idx // 4096, idx % 4096) f32 planes
+
+
+def _compact_kernel(tau_lo_ref, tau_hi_ref, scores_ref, out_ref,
+                    off_ref, clen_ref, carry_ref, comb_ref, *,
+                    chunk: int, capb: int):
+    """One grid step: compact survivors of `tau_lo <= s <= tau_hi` from a
+    (1, 1, chunk/128, 128) score block into out (1, 3, capb) planes
+    [score, idx_hi, idx_lo] in ascending flat-index order.
+
+    Mosaic only lowers LANE-dim dynamic stores at 128-aligned offsets, so
+    the running offset advances in whole 128-lane groups and a (3, 128)
+    carry buffer holds the `total % 128` remainder between sub-blocks:
+    each sub-block emits carry+survivors as a (3, W) slab via a one-hot
+    permutation matmul (the TPU compaction idiom), writes the whole slab
+    at the aligned offset (its tail is provisional and is re-written by
+    the next slab, whose first lanes are exactly the carry), then keeps
+    the sub-128 remainder as the new carry. The final remainder is
+    flushed on the last grid step."""
+    g = pl.program_id(1)
+    num_g = pl.num_programs(1)
+
+    @pl.when(g == 0)
+    def _init():
+        off_ref[0] = 0
+        clen_ref[0] = 0
+        carry_ref[:, :] = jnp.zeros((3, 128), jnp.float32)
+        out_ref[:, 0, :] = jnp.full((1, capb), -1.0, jnp.float32)
+        out_ref[:, 1, :] = jnp.zeros((1, capb), jnp.float32)
+        out_ref[:, 2, :] = jnp.zeros((1, capb), jnp.float32)
+
+    i = pl.program_id(0)
+    tlo = tau_lo_ref[i, 0]
+    thi = tau_hi_ref[i, 0]
+    base = g * chunk
+
+    # constants hoisted out of the sub-block loop
+    ii = jax.lax.broadcasted_iota(jnp.int32, (_S, _S), 0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (_S, _S), 1)
+    tri = (ii < kk).astype(jnp.float32)              # strict upper-tri mask
+    kkw = jax.lax.broadcasted_iota(jnp.int32, (_S, _W), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _S), 1)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, _W), 1)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def sub(sb, _):
+        s4 = scores_ref[0, 0, pl.ds(sb * (_S // 128), _S // 128), :]
+        m4 = (s4 >= tlo) & (s4 <= thi)
+        cnt = jnp.sum(m4.astype(jnp.int32))
+
+        @pl.when(cnt > 0)
+        def _():
+            off = pl.multiple_of(off_ref[0], 128)
+
+            @pl.when(off + _W <= capb)
+            def _():
+                clen = clen_ref[0]
+                s = s4.reshape(1, _S)                 # row-major == index order
+                # recompute the mask in flat form (Mosaic cannot reshape i1)
+                m = (s >= tlo) & (s <= thi)
+                mf = m.astype(jnp.float32)
+                # dest slot = carry_len + exclusive prefix count, via an
+                # MXU cumsum: pos[j] = clen + sum_{i<j} m_i
+                pos = (jax.lax.dot_general(
+                    mf, tri, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ) + clen.astype(jnp.float32)).astype(jnp.int32)
+                # one-hot permutation: onehot[j, k] = (pos_j == k) & m_j;
+                # the mask folds into pos as an out-of-range dest (-1)
+                # because Mosaic cannot reshape i1 vectors
+                pos = jnp.where(m, pos, -1)
+                onehot = (kkw == pos.reshape(_S, 1)).astype(
+                    jnp.float32)                       # (S, W)
+                jg = base + sb * _S + lane            # (1, S) flat indices
+                vals = jnp.concatenate(
+                    [s,
+                     (jg // _IDX_SPLIT).astype(jnp.float32),
+                     (jg % _IDX_SPLIT).astype(jnp.float32)], axis=0)  # (3, S)
+                # HIGHEST precision: the one-hot is exact in bf16, so the
+                # 3-term f32 decomposition reproduces vals bit-exactly —
+                # default MXU precision would round scores/indices to bf16
+                slab = jax.lax.dot_general(
+                    vals, onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                     # (3, W)
+                # combined = carry (cols < clen; zeros beyond) + slab
+                comb = slab + jnp.concatenate(
+                    [carry_ref[:, :],
+                     jnp.zeros((3, _S), jnp.float32)], axis=1)
+                total = clen + cnt
+                srow = jnp.where(lane_w < total, comb[0:1], -1.0)
+                out_ref[:, 0, pl.ds(off, _W)] = srow
+                out_ref[:, 1, pl.ds(off, _W)] = comb[1:2]
+                out_ref[:, 2, pl.ds(off, _W)] = comb[2:3]
+                # new carry = the sub-128 remainder of the combined slab
+                full = total // 128
+                newc = total - full * 128
+                comb_ref[0:1, 0:_W] = srow
+                comb_ref[1:2, 0:_W] = comb[1:2]
+                comb_ref[2:3, 0:_W] = comb[2:3]
+                tail = comb_ref[:, pl.ds(pl.multiple_of(full * 128, 128),
+                                         128)]
+                carry_ref[:, :] = jnp.where(lane_c < newc, tail, 0.0)
+                off_ref[0] = off + full * 128
+                clen_ref[0] = newc
+
+        return 0
+
+    jax.lax.fori_loop(0, chunk // _S, sub, 0)
+
+    @pl.when(g == num_g - 1)
+    def _flush():
+        off = pl.multiple_of(off_ref[0], 128)
+        clen = clen_ref[0]
+
+        @pl.when((clen > 0) & (off + 128 <= capb))
+        def _():
+            srow = jnp.where(lane_c < clen, carry_ref[0:1, :], -1.0)
+            out_ref[:, 0, pl.ds(off, 128)] = srow
+            out_ref[:, 1, pl.ds(off, 128)] = carry_ref[1:2, :]
+            out_ref[:, 2, pl.ds(off, 128)] = carry_ref[2:3, :]
+
+
+@functools.partial(jax.jit, static_argnames=("capb", "interpret"))
+def _threshold_compact(scores, tau_lo, tau_hi, capb: int, interpret: bool):
+    """Pack survivors of tau_lo <= s <= tau_hi (per image) into a
+    (B, 3, capb) buffer [score, idx_hi, idx_lo], ascending index order,
+    -1 score padding. Survivors beyond capb - W are dropped (later index
+    first) — callers size capb so genuine candidates never drop."""
+    b, n = scores.shape
+    chunk = _S * min(64, pl.cdiv(n, _S))
+    n_pad = pl.cdiv(n, chunk) * chunk
+    if n_pad != n:
+        scores = jnp.pad(scores, ((0, 0), (0, n_pad - n)),
+                         constant_values=-1.0)
+    grid = (b, n_pad // chunk)
+    scores4 = scores.reshape(b, n_pad // chunk, chunk // 128, 128)
+    return pl.pallas_call(
+        functools.partial(_compact_kernel, chunk=chunk, capb=capb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, chunk // 128, 128), lambda i, g: (i, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, capb), lambda i, g: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, capb), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((3, 128), jnp.float32),
+            pltpu.VMEM((3, _W + 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(tau_lo.reshape(b, 1), tau_hi.reshape(b, 1), scores4)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def exact_topk_flat(scores, k: int, interpret: bool = False):
+    """Exact `lax.top_k(scores, k)` over (B, N) masked score rows
+    (non-candidates = -1, candidates strictly > 0), including the
+    lowest-index-first tie rule. Returns (top_scores, top_idx) (B, k).
+
+    Row-granularity selection: candidates only exist in "live" 128-lane
+    rows of the lattice (a hot anchor lights a run of class columns), so
+    one bandwidth pass marks live rows, the Pallas compaction kernel
+    packs the live ROW INDICES in ascending order (a ~16k-element
+    problem, ~1 ms), an XLA row-gather assembles the live rows into a
+    dense (rows_cap * 128) buffer, and a small lax.top_k orders it.
+    Buffer order = (ascending row, ascending lane) = ascending flat
+    index, so tie semantics match exact TopK bit-for-bit.
+
+    Tiered: a compact rows_cap when the densest image fits it (the
+    common case at eval thresholds), 4x when crowded, raw lax.top_k for
+    the pathological tail (an untrained model at eval thresholds).
+    Every tier returns bit-identical results to lax.top_k.
+
+    `interpret=True` runs the compaction kernel in the Pallas
+    interpreter (CPU test path)."""
+    b, n = scores.shape
+    r = pl.cdiv(n, 128)
+    rpad = pl.cdiv(r, 128) * 128
+    r1 = min(pl.cdiv(max(pl.cdiv(k, 128) + 8, 256), 128) * 128, rpad)
+    r2 = min(4 * r1, rpad)
+    if r1 * 128 >= n:
+        return tuple(jax.lax.top_k(scores, k))
+
+    npad = r * 128
+    if npad != n:
+        scores_p = jnp.pad(scores, ((0, 0), (0, npad - n)),
+                           constant_values=-1.0)
+    else:
+        scores_p = scores
+    s3 = scores_p.reshape(b, r, 128)
+    rowlive = jnp.any(s3 > 0.0, axis=-1)                 # (B, r)
+    nmax = jnp.max(jnp.sum(rowlive, axis=-1))
+
+    rowscore = rowlive.astype(jnp.float32)               # 1.0 live, 0.0 dead
+    half = jnp.full((b,), 0.5, jnp.float32)
+    inf = jnp.full((b,), jnp.float32(jnp.inf))
+
+    def tier(rows_cap):
+        capr = pl.cdiv(rows_cap + _W, 128) * 128
+
+        def f():
+            buf = _threshold_compact(rowscore, half, inf, capr, interpret)
+            live = buf[:, 0, :rows_cap] > 0.0            # (B, rows_cap)
+            rsel = (buf[:, 1, :rows_cap] * _IDX_SPLIT
+                    + buf[:, 2, :rows_cap]).astype(jnp.int32)
+            rows = jnp.take_along_axis(s3, rsel[:, :, None], axis=1)
+            rows = jnp.where(live[:, :, None], rows, -1.0)
+            ts, pos = jax.lax.top_k(rows.reshape(b, rows_cap * 128), k)
+            srow = jnp.take_along_axis(rsel, pos // 128, axis=1)
+            idx = srow * 128 + pos % 128
+            return ts, jnp.where(ts > 0.0, idx, 0)
+
+        return f
+
+    def fallback():
+        return tuple(jax.lax.top_k(scores, k))
+
+    if r2 > r1:
+        crowded = lambda: jax.lax.cond(nmax <= r2, tier(r2), fallback)
+    else:
+        crowded = fallback
+    return jax.lax.cond(nmax <= r1, tier(r1), crowded)
