@@ -67,9 +67,12 @@ def kmean_anchors(
         x = np.minimum(r, 1.0 / r).min(2).max(1)
         return (x * (x > thr)).mean()
 
-    # Lloyd k-means on std-normalized wh
-    s = wh.std(0)
-    k = wh[rng.choice(len(wh), n, replace=False)] / s
+    # Lloyd k-means on std-normalized wh (sample with replacement when the
+    # dataset has fewer labels than anchors; jitter breaks duplicates)
+    s = np.maximum(wh.std(0), 1e-3)
+    k = wh[rng.choice(len(wh), n, replace=len(wh) < n)] / s
+    if len(wh) < n:
+        k = k * rng.uniform(0.9, 1.1, k.shape)
     pts = wh / s
     for _ in range(30):
         d = ((pts[:, None, :] - k[None, :, :]) ** 2).sum(-1)

@@ -109,6 +109,10 @@ class SSODTrainer(Trainer):
             self.state = replicate(self.mesh, self.state)
         del self._init_params, self._init_bs
 
+    def _rebuild_model(self):
+        self.model = build_model(self.spec, ssod=True,
+                                 dtype=self.compute_dtype)
+
     def build_dataloader(self, cfg):
         super().build_dataloader(cfg)
         # device_aug: the target loader serves raw letterboxed weak views;

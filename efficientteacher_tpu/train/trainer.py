@@ -284,6 +284,48 @@ class Trainer:
                               batch_size=self.batch_size)
             if cfg.Dataset.val else None
         )
+        self._maybe_autoanchor(cfg)
+
+    def _rebuild_model(self):
+        self.model = build_model(self.spec, ssod=False,
+                                 dtype=self.compute_dtype)
+
+    def _maybe_autoanchor(self, cfg):
+        """Train-start anchor BPR check / k-means+GA evolution behind
+        cfg.noautoanchor, skipped on resume like upstream (reference
+        trainer.py:104-120, ssod_trainer.py:250, utils/autoanchor.py:26-49).
+        Runs AFTER the dataset exists and BEFORE the loss/step are built:
+        evolved anchors re-enter the STATIC model spec (so the head's eval
+        decode sees them) and the dense loss lattice `anchors_grid` before
+        anything is jitted."""
+        from ..models.heads import head_model_type
+
+        if cfg.noautoanchor or cfg.resume:
+            return
+        if head_model_type(self.spec.head) != "yolov5":
+            return  # anchor-free heads have no anchors to evolve
+        from dataclasses import replace
+
+        from ..data.autoanchor import check_anchors
+
+        anchors_px = np.asarray(self.spec.anchors, np.float32).reshape(
+            self.spec.nl, -1, 2)
+        new_px, bpr = check_anchors(
+            self.dataset, anchors_px, self.spec.strides, self.img_size,
+            anchor_t=float(cfg.Loss.anchor_t),  # reference hyp.anchor_t
+        )
+        if np.allclose(new_px, anchors_px):
+            return
+        LOGGER.info("autoanchor: adopting evolved anchors (BPR %.4f)", bpr)
+        self.spec = replace(
+            self.spec,
+            anchors=tuple(tuple(float(v) for v in sc.reshape(-1))
+                          for sc in new_px),
+        )
+        self._rebuild_model()  # anchors are static decode constants, not
+        # params — the initialized params/batch_stats remain valid
+        s = np.asarray(self.spec.strides, np.float32)[:, None, None]
+        self.anchors_grid = new_px.astype(np.float32) / s
 
     def build_loss(self, cfg):
         """Loss.type dispatch. Unlike the reference (which raises
