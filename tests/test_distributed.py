@@ -20,7 +20,12 @@ def _free_port():
 
 
 @pytest.mark.timeout(300)
-def test_two_process_cpu_cluster():
+@pytest.mark.parametrize("local_devices", [2, 4])
+def test_two_process_cpu_cluster(local_devices):
+    """2 real JAX processes x `local_devices` virtual CPU devices each
+    (the 4-device and the 2-proc x 4-dev = 8-device global topologies),
+    incl. the LabelMatch score all-gather: both processes must derive
+    IDENTICAL thresholds from the union of their disjoint score shards."""
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -28,10 +33,12 @@ def test_two_process_cpu_cluster():
         env.update({
             "PALLAS_AXON_POOL_IPS": "",
             "JAX_PLATFORMS": "cpu",
-            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "XLA_FLAGS":
+                f"--xla_force_host_platform_device_count={local_devices}",
             "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
             "JAX_NUM_PROCESSES": "2",
             "JAX_PROCESS_ID": str(pid),
+            "WORKER_LOCAL_DEVICES": str(local_devices),
             "PYTHONPATH": f"{REPO}:{env.get('PYTHONPATH', '')}",
         })
         procs.append(subprocess.Popen(
@@ -51,6 +58,10 @@ def test_two_process_cpu_cluster():
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
     assert "WORKER_0_OK" in outs[0]
     assert "WORKER_1_OK" in outs[1]
+    # LabelMatch thresholds must agree across processes
+    thr0 = outs[0].split("thr=")[1].splitlines()[0]
+    thr1 = outs[1].split("thr=")[1].splitlines()[0]
+    assert thr0 == thr1, f"cross-process thresholds diverged:\n{thr0}\n{thr1}"
 
 
 def test_single_process_helpers_noop():
