@@ -25,7 +25,11 @@ Design notes:
     DataLoader's in-order, worker-count-independent semantics. (The
     thread fallback yields in completion order and shares the parent
     RNG; it is only deterministic at workers=1 — BatchLoader warns when
-    auto mode falls to threads with workers>1.)
+    it runs threads with workers>1. Auto mode therefore picks processes
+    whenever fork exists and workers>1, even on 1-core hosts: threads
+    would be no faster there and would void the reproducibility
+    contract. Determinism precondition, exactly: fork-capable OS AND
+    (loader in {'auto','process'} with workers>1, or workers<=1).)
 """
 
 from __future__ import annotations
