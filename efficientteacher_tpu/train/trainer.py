@@ -579,7 +579,9 @@ class Trainer:
             best_fitness=self.best_fitness,
             cfg_yaml=self.cfg.dump(),
         )
-        self.callbacks.run("on_model_save")
+        self.callbacks.run("on_model_save",
+                           self.save_dir / "weights" / name,
+                           self.epoch if epoch is None else epoch, fi, name)
 
     def profile_steps(self, n: int = 5, logdir: str | None = None):
         """Capture a jax.profiler trace of `n` train steps (the TPU-native

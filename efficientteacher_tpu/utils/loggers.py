@@ -45,12 +45,22 @@ class Loggers:
             except Exception as e:  # pragma: no cover
                 LOGGER.info("tensorboard disabled: %s", e)
         self.wandb = None
+        self.wandb_artifacts = None
         if "wandb" in include and _wandb is not None:
             try:
                 self.wandb = _wandb.init(
                     project=str(save_dir.parent.name), dir=str(save_dir),
                     config=cfg.to_dict() if cfg is not None else None,
                 )
+                from .wandb_artifacts import WandbArtifacts
+
+                self.wandb_artifacts = WandbArtifacts(self.wandb)
+                # dataset upload behind the reference's upload_dataset knob
+                # (wandb_utils.py:196-213 check_and_upload_dataset)
+                if cfg is not None and bool(
+                        getattr(cfg, "upload_dataset", False)):
+                    self.wandb_artifacts.log_dataset_artifact(
+                        cfg.Dataset.train, names=list(cfg.Dataset.names))
             except Exception as e:  # pragma: no cover
                 LOGGER.info("wandb disabled: %s", e)
 
@@ -84,15 +94,35 @@ class Loggers:
                 for k, v in metrics.items():
                     tf.summary.scalar(f"batch/{k}", float(v), step=step)
 
+    def on_model_save(self, path=None, epoch: int = 0, fitness: float = 0.0,
+                      name: str = ""):
+        """Checkpoint artifact upload (reference wandb_utils.py:302-325
+        log_model; best.ckpt saves also carry the 'best' alias)."""
+        if self.wandb_artifacts is not None and path is not None:
+            try:
+                self.wandb_artifacts.log_model(
+                    path, epoch, fitness, best=(name == "best.ckpt"))
+            except Exception as e:  # pragma: no cover
+                LOGGER.debug("wandb model artifact skipped: %s", e)
+
     def on_train_end(self):
         if self.tb is not None:
             self.tb.flush()
+        if self.wandb_artifacts is not None:
+            # async ckpt writer is joined by now — final guaranteed upload
+            try:
+                last = self.save_dir / "weights" / "last.ckpt"
+                if last.exists():
+                    self.wandb_artifacts.log_model(last, -1, 0.0,
+                                                   wait_s=0.0)
+            except Exception as e:  # pragma: no cover
+                LOGGER.debug("wandb final artifact skipped: %s", e)
         if self.wandb is not None:
             self.wandb.finish()
 
     def register(self, callbacks):
         """Attach hook methods to a Callbacks bus (reference trainer.py:281)."""
         for hook in ("on_fit_epoch_end", "on_train_batch_end",
-                     "on_train_end"):
+                     "on_model_save", "on_train_end"):
             callbacks.register_action(hook, name=f"loggers/{hook}",
                                       callback=getattr(self, hook))
