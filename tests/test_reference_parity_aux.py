@@ -229,11 +229,9 @@ def test_fitness_parity():
 
 def test_oks_parity():
     """eval/keypoint_metrics.oks vs reference utils/metrics.py:453-482
-    oks_iou. The reference uses sigmas=0.1 with e = d^2/(2*sigma)^2/area/2
-    and averages over ALL keypoints; our COCO-style formula
-    e = d^2/(2*area*kappa^2) reduces to it exactly at kappa = 0.2 with all
-    keypoints visible and area = the GT keypoint-polygon bbox area (the
-    quantities the reference derives)."""
+    oks_iou: sigmas=0.1, e = d^2/(2*sigma)^2/area/2 with area = the GT
+    keypoint-hull bbox (poly2hbb), unmasked mean over all keypoints —
+    the formula oks() now implements natively (ADVICE r3 #2)."""
     import importlib
 
     from efficientteacher_tpu.eval.keypoint_metrics import oks
@@ -254,10 +252,7 @@ def test_oks_parity():
     want = ref_metrics.oks_iou(torch.from_numpy(labels),
                                torch.from_numpy(dets), npk)
 
-    # polygon bbox areas (reference poly2hbb w*h)
-    areas = ((gt_kps[..., 0].max(1) - gt_kps[..., 0].min(1))
-             * (gt_kps[..., 1].max(1) - gt_kps[..., 1].min(1)))
-    got = oks(pred_kps, gt_kps, areas, kappas=np.full(npk, 0.2))
+    got = oks(pred_kps, gt_kps)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
 
 
