@@ -621,13 +621,18 @@ class BatchLoader:
                 self._build_batch, batches, self.workers, self._reseed
             )
         else:
-            if self.workers > 1 and not self._warned_threads:
+            # thread delivery is IN ORDER (parallel_loader.py), so an
+            # RNG-free build (augment=False validation) stays deterministic;
+            # only AUGMENTING thread loaders are nondeterministic at
+            # workers>1 (workers share the parent RNG mid-build)
+            if (self.workers > 1 and not self._warned_threads
+                    and getattr(self.ds, "augment", False)):
                 self._warned_threads = True
                 import logging
 
                 logging.getLogger(__name__).warning(
                     "loader falling back to threads with workers=%d: "
-                    "batch order/content will NOT be reproducible across "
+                    "batch CONTENT will NOT be reproducible across "
                     "runs or machines (set Dataset.loader='process' or "
                     "workers=1 for determinism)", self.workers,
                 )

@@ -35,11 +35,9 @@ Design notes:
 from __future__ import annotations
 
 import ctypes
+import itertools
 import multiprocessing
 import os
-import queue
-import random
-import threading
 from typing import Callable, Dict, Iterator, List
 
 import numpy as np
@@ -178,43 +176,32 @@ def iter_batches_threads(
     workers: int,
     prefetch: int = 4,
 ) -> Iterator[Dict]:
-    """Thread-pool fallback (single-core hosts, platforms without fork):
-    `workers` producer threads, bounded output queue, completion order."""
+    """Thread-pool engine (fork-less platforms, explicit
+    Dataset.loader='thread', and augment=False validation loaders):
+    `workers` producer threads over a bounded in-flight window with
+    IN-ORDER delivery — batch i is always yielded i-th. Loaders whose
+    per-batch build is RNG-free (augment=False) are therefore fully
+    deterministic under threads regardless of scheduling; batch ORDER
+    nondeterminism here used to flip equal-confidence tie order in
+    ap_per_class's sort and byte-diverge results.csv under host load.
+    Augmenting thread loaders remain nondeterministic at workers>1
+    (workers share the parent's RNG mid-build), which is what the
+    BatchLoader warning covers."""
     if not batches:
         return
     workers = max(1, min(workers, len(batches)))
-    out_q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, workers))
-    task_it = iter(batches)
-    lock = threading.Lock()
-    errors: list = []
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
-    def producer():
-        while True:
-            with lock:
-                bidx = next(task_it, None)
-            if bidx is None:
-                break
-            try:
-                out_q.put(build_batch(bidx))
-            except BaseException as e:  # surface in consumer
-                errors.append(e)
-                break
-        out_q.put(None)
-
-    threads = [threading.Thread(target=producer, daemon=True)
-               for _ in range(workers)]
-    for t in threads:
-        t.start()
-    finished = 0
-    produced = 0
-    while finished < workers:
-        item = out_q.get()
-        if item is None:
-            finished += 1
-            continue
-        produced += 1
-        yield item
-    if errors:
-        raise errors[0]
-    if produced != len(batches):
-        raise RuntimeError(f"loader produced {produced}/{len(batches)}")
+    window = max(prefetch, workers)
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = deque()
+        it = iter(batches)
+        for b in itertools.islice(it, window):
+            futs.append(ex.submit(build_batch, b))
+        while futs:
+            f = futs.popleft()
+            nxt = next(it, None)
+            if nxt is not None:  # keep the window full before blocking
+                futs.append(ex.submit(build_batch, nxt))
+            yield f.result()

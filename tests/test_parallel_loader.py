@@ -162,3 +162,35 @@ def test_process_loader_deterministic_order_and_content():
     r1, r2, r4 = run(1), run(2), run(4)
     assert [o[0] for o in r1] == [tuple(b) for b in batches]  # task order
     assert r1 == r2 == r4  # content independent of scheduling
+
+
+def test_thread_engine_in_order_delivery():
+    """Thread engine yields batch i i-th even under adversarial scheduling
+    (round-4 regression: completion-order delivery let host load reorder
+    validation batches, flipping equal-confidence ties in ap_per_class's
+    sort and byte-diverging results.csv between identical-seed runs)."""
+    import time
+
+    batches = [[i] for i in range(24)]
+
+    def build(bidx):
+        # later batches finish FIRST if delivery follows completion order
+        time.sleep(0.02 * (24 - bidx[0]) / 24)
+        return {"indices": bidx}
+
+    for workers in (2, 4, 8):
+        got = [b["indices"][0]
+               for b in iter_batches_threads(build, batches, workers=workers)]
+        assert got == list(range(24)), (workers, got)
+
+
+def test_thread_engine_propagates_errors():
+    batches = [[i] for i in range(8)]
+
+    def build(bidx):
+        if bidx[0] == 5:
+            raise ValueError("boom")
+        return {"indices": bidx}
+
+    with pytest.raises(ValueError, match="boom"):
+        list(iter_batches_threads(build, batches, workers=3))
