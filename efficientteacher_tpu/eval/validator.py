@@ -172,26 +172,18 @@ def run(
     t_infer = 0.0
     t_host = 0.0
     n_images = 0
-    for batch in loader:
-        images = batch["images"]
-        bs = images.shape[0]
-        n_images += bs
-        if compiled_bs is None:
-            compiled_bs = bs
-        if bs < compiled_bs:  # pad ragged final batch to compiled batch dim
-            pad = compiled_bs - bs
-            images = np.concatenate(
-                [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
-            )
-        # rect loaders emit a bounded set of (h, w) shapes; the jitted infer
-        # compiles once per distinct shape
+
+    def _host_batch(out, batch, bs, lh, lw, base_idx):
+        """Materialize one batch's device output and fold it into the mAP
+        accumulators. Called one batch BEHIND the jitted infer dispatch so
+        host metric work overlaps the next batch's device compute (JAX
+        async dispatch; only the compact (max_det, 6+) detections sync)."""
+        nonlocal t_infer, t_host
         t0 = _time.perf_counter()
-        out = infer(variables, jnp.asarray(images))
         dets = np.asarray(out.detections)[:bs]
         valid = np.asarray(out.valid)[:bs]
-        t_infer += _time.perf_counter() - t0
+        t_infer += _time.perf_counter() - t0  # device wait, if any
         t0 = _time.perf_counter()
-        lh, lw = images.shape[1], images.shape[2]
 
         for bi in range(bs):
             det = dets[bi][valid[bi]]
@@ -227,7 +219,7 @@ def run(
                 indices = batch.get("indices")
                 img_id = coco_image_id(
                     paths[bi] if paths else None,
-                    indices[bi] if indices is not None else n_images - bs + bi,
+                    indices[bi] if indices is not None else base_idx + bi,
                 )
                 # detections_to_json unpacks 6-column rows; keypoint columns
                 # (cols 6+) must not leak into its `*xyxy, conf, cls` unpack
@@ -268,6 +260,31 @@ def run(
                 lxyxy[:, 0],
             ))
         t_host += _time.perf_counter() - t0
+
+    pending = None
+    for batch in loader:
+        images = batch["images"]
+        bs = images.shape[0]
+        base_idx = n_images
+        n_images += bs
+        if compiled_bs is None:
+            compiled_bs = bs
+        if bs < compiled_bs:  # pad ragged final batch to compiled batch dim
+            pad = compiled_bs - bs
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
+            )
+        # rect loaders emit a bounded set of (h, w) shapes; the jitted infer
+        # compiles once per distinct shape
+        t0 = _time.perf_counter()
+        out = infer(variables, jnp.asarray(images))
+        t_infer += _time.perf_counter() - t0  # async dispatch cost
+        if pending is not None:
+            _host_batch(*pending)
+        pending = (out, batch, bs, images.shape[1], images.shape[2],
+                   base_idx)
+    if pending is not None:
+        _host_batch(*pending)
 
     if n_images:
         # speed split (reference val.py:416-420 prints pre/inference/NMS;
