@@ -93,6 +93,20 @@ bool decode_jpeg(const char* path, int target, std::vector<uint8_t>& rgb,
 // flip at collate, data/datasets.py:429).
 void resize_into(const uint8_t* src, int sw, int sh, uint8_t* dst,
                  int dstride_px, int dw, int dh) {
+  if (sw == dw && sh == dh) {
+    // identity scale (letterbox gain 1.0 — the common case for images whose
+    // longer side already equals the canvas): straight RGB->BGR swizzle copy
+    for (int y = 0; y < dh; ++y) {
+      const uint8_t* in = src + static_cast<size_t>(y) * sw * 3;
+      uint8_t* out = dst + static_cast<size_t>(y) * dstride_px * 3;
+      for (int x = 0; x < dw; ++x) {
+        out[x * 3 + 0] = in[x * 3 + 2];
+        out[x * 3 + 1] = in[x * 3 + 1];
+        out[x * 3 + 2] = in[x * 3 + 0];
+      }
+    }
+    return;
+  }
   const float sx = static_cast<float>(sw) / dw;
   const float sy = static_cast<float>(sh) / dh;
   std::vector<int> x0s(dw), x1s(dw);
@@ -106,6 +120,24 @@ void resize_into(const uint8_t* src, int sw, int sh, uint8_t* dst,
     x0 = std::min(x0, sw - 1);
     x0s[x] = x0; x1s[x] = x1; fxs[x] = t;
   }
+  // Separable form with a rolling pair of horizontally-lerped rows: the
+  // cached rows ARE the fused loop's `top`/`bot` terms (same float
+  // expressions, so output stays bit-identical), but adjacent output rows
+  // reuse them and the vertical blend below is a gather-free stream the
+  // compiler vectorizes.
+  std::vector<float> rowa(static_cast<size_t>(dw) * 3);
+  std::vector<float> rowb(static_cast<size_t>(dw) * 3);
+  int ya = -1, yb = -1;
+  auto hlerp = [&](int srow, float* o) {
+    const uint8_t* r = src + static_cast<size_t>(srow) * sw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const int a = x0s[x] * 3, b = x1s[x] * 3;
+      const float tx = fxs[x];
+      o[x * 3 + 0] = r[a + 0] + tx * (r[b + 0] - r[a + 0]);
+      o[x * 3 + 1] = r[a + 1] + tx * (r[b + 1] - r[a + 1]);
+      o[x * 3 + 2] = r[a + 2] + tx * (r[b + 2] - r[a + 2]);
+    }
+  };
   for (int y = 0; y < dh; ++y) {
     float fy = (y + 0.5f) * sy - 0.5f;
     int y0 = static_cast<int>(std::floor(fy));
@@ -113,18 +145,34 @@ void resize_into(const uint8_t* src, int sw, int sh, uint8_t* dst,
     if (y0 < 0) { y0 = 0; ty = 0.f; }
     int y1 = std::min(y0 + 1, sh - 1);
     y0 = std::min(y0, sh - 1);
-    const uint8_t* r0 = src + static_cast<size_t>(y0) * sw * 3;
-    const uint8_t* r1 = src + static_cast<size_t>(y1) * sw * 3;
+    if (ya != y0) {
+      if (yb == y0) {
+        std::swap(rowa, rowb);
+        std::swap(ya, yb);
+      } else {
+        hlerp(y0, rowa.data());
+        ya = y0;
+      }
+    }
+    const float* pa = rowa.data();
+    const float* pb;
+    if (y1 == ya) {
+      pb = pa;
+    } else {
+      if (yb != y1) {
+        hlerp(y1, rowb.data());
+        yb = y1;
+      }
+      pb = rowb.data();
+    }
     uint8_t* out = dst + static_cast<size_t>(y) * dstride_px * 3;
     for (int x = 0; x < dw; ++x) {
-      const int a = x0s[x] * 3, b = x1s[x] * 3;
-      const float tx = fxs[x];
-      for (int c = 0; c < 3; ++c) {
-        float top = r0[a + c] + tx * (r0[b + c] - r0[a + c]);
-        float bot = r1[a + c] + tx * (r1[b + c] - r1[a + c]);
-        float v = top + ty * (bot - top);
-        out[x * 3 + (2 - c)] = static_cast<uint8_t>(v + 0.5f);  // RGB->BGR
-      }
+      const float v0 = pa[x * 3 + 0] + ty * (pb[x * 3 + 0] - pa[x * 3 + 0]);
+      const float v1 = pa[x * 3 + 1] + ty * (pb[x * 3 + 1] - pa[x * 3 + 1]);
+      const float v2 = pa[x * 3 + 2] + ty * (pb[x * 3 + 2] - pa[x * 3 + 2]);
+      out[x * 3 + 0] = static_cast<uint8_t>(v2 + 0.5f);  // RGB->BGR
+      out[x * 3 + 1] = static_cast<uint8_t>(v1 + 0.5f);
+      out[x * 3 + 2] = static_cast<uint8_t>(v0 + 0.5f);
     }
   }
 }
