@@ -29,6 +29,12 @@ def parse_opt():
                         help="keypoint models (Dataset.np > 0): score with "
                              "OKS matching instead of box IoU (reference "
                              "val.py val_kp)")
+    parser.add_argument("--selection", type=str, default=None,
+                        choices=["pallas", "exact", "approx"],
+                        help="NMS candidate-selection engine (default: "
+                             "auto — exact Pallas row-gather on TPU). "
+                             "'approx' = lax.approx_max_k recall 0.95; "
+                             "measured mAP cost documented in STATUS.md")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     return parser.parse_args()
 
@@ -74,6 +80,7 @@ def main(opt):
         confusion=opt.confusion, is_coco=is_coco,
         plots_dir=opt.plots, names=list(cfg.Dataset.names),
         num_points=int(cfg.Dataset.np), val_kp=opt.val_kp,
+        selection=opt.selection,
     )
     results, maps, cls_thr = out[:3]
     print("P=%.4f R=%.4f mAP50=%.4f mAP50-95=%.4f" % results)
