@@ -92,6 +92,7 @@ def tiny_cfg(listfile, tmp, nc=3, imgsz=192, max_targets=64):
     cfg.epochs = int(os.environ.get("DELTA_EPOCHS", "150"))
     cfg.hyp.warmup_epochs = 0
     cfg.hyp.mosaic = 0.0
+    cfg.noval = True  # skip per-epoch EMA validation; we eval explicitly
     cfg.project = str(tmp / "runs")
     return cfg
 
@@ -120,18 +121,24 @@ def main():
 
     rng = np.random.default_rng(7)
     tmp = Path(tempfile.mkdtemp(prefix="approx_delta_"))
+
+    # Train ONCE on the sparse set (the detector generalizes to the crowded
+    # variant — same rectangle objects, more of them); the exact/approx
+    # delta is an EVAL-time property of candidate selection, so the same
+    # weights measure it on both densities.
+    train_list = write_dataset(tmp / "trainset", rng, crowded=False)
+    cfg = tiny_cfg(train_list, tmp / "trainset")
+    cfg.name = "delta_train"
+    cfg.freeze()
+    trainer = Trainer(cfg, compute_dtype=jnp.float32)
+    trainer.train()
+    variables = load_eval_variables(
+        trainer.save_dir / "weights" / "last.ckpt")
+    model = build_model(spec_from_cfg(cfg), ssod=False)
+
     results = {}
     for name, crowded in (("sparse", False), ("crowded", True)):
         listfile = write_dataset(tmp / name, rng, crowded=crowded)
-        cfg = tiny_cfg(listfile, tmp / name)
-        cfg.name = f"delta_{name}"
-        cfg.freeze()
-        trainer = Trainer(cfg, compute_dtype=jnp.float32)
-        trainer.train()
-        variables = load_eval_variables(
-            trainer.save_dir / "weights" / "best.ckpt")
-        model = build_model(spec_from_cfg(cfg), ssod=False)
-
         per_engine = {}
         for engine in ("exact", "pallas", "approx"):
             ds = LoadImagesAndLabels(str(listfile), img_size=192, nc=3,
