@@ -5,10 +5,15 @@
 // cv2.resize). Two advantages over the cv2 path:
 //   1. scaled IDCT decode: libjpeg can decode directly at 1/2, 1/4, 1/8
 //      scale inside the inverse DCT, so a 4000px photo headed for a
-//      640px canvas never materializes at full resolution;
+//      640px canvas never materializes at full resolution. The scale is
+//      chosen PER AXIS against the letterbox output dims (gain set by
+//      the longer side), so any image >= 2x its target engages it;
 //   2. decode -> resize -> letterbox-pad runs in one pass into the
-//      caller's pinned batch buffer (no intermediate allocations), with
-//      an internal pthread pool for batch parallelism.
+//      caller's pinned batch buffer. When the chosen IDCT scale lands
+//      exactly on the letterbox dims (e.g. 1280x960 -> 640 canvas:
+//      1/2-scale decode IS 640x480) the entropy decoder writes straight
+//      into the canvas slot — no intermediate buffer at all. libjpeg-
+//      turbo's JCS_EXT_BGR emits cv2.imread's channel order directly.
 //
 // Exposed via ctypes (efficientteacher_tpu/utils/native_loader.py);
 // built on demand by build.sh (g++ -O3 -shared, links system libjpeg).
@@ -23,7 +28,6 @@
 #include <cmath>
 #include <csetjmp>
 #include <cstdint>
-#include <cstdio>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -40,69 +44,35 @@ void on_error(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
-// Decode a JPEG file to RGB. Chooses the largest IDCT downscale
-// (denominator 1/2/4/8) that keeps both sides >= target so the later
-// bilinear resize only ever downscales by <2x (quality-neutral; the
-// reference resizes from full resolution with the same INTER_LINEAR).
-bool decode_jpeg(const char* path, int target, std::vector<uint8_t>& rgb,
-                 int* full_w, int* full_h, int* out_w, int* out_h) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return false;
-  jpeg_decompress_struct cinfo;
-  ErrMgr jerr;
-  cinfo.err = jpeg_std_error(&jerr.pub);
-  jerr.pub.error_exit = on_error;
-  if (setjmp(jerr.jump)) {
-    jpeg_destroy_decompress(&cinfo);
-    fclose(f);
-    return false;
-  }
-  jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
-  jpeg_read_header(&cinfo, TRUE);
-  *full_w = static_cast<int>(cinfo.image_width);
-  *full_h = static_cast<int>(cinfo.image_height);
-  int denom = 1;
-  if (target > 0) {
-    while (denom < 8 && (*full_w / (denom * 2)) >= target &&
-           (*full_h / (denom * 2)) >= target) {
-      denom *= 2;
-    }
-  }
-  cinfo.scale_num = 1;
-  cinfo.scale_denom = static_cast<unsigned>(denom);
-  cinfo.out_color_space = JCS_RGB;
-  jpeg_start_decompress(&cinfo);
-  *out_w = static_cast<int>(cinfo.output_width);
-  *out_h = static_cast<int>(cinfo.output_height);
-  rgb.resize(static_cast<size_t>(*out_w) * *out_h * 3);
-  JSAMPROW row;
-  while (cinfo.output_scanline < cinfo.output_height) {
-    row = rgb.data() + static_cast<size_t>(cinfo.output_scanline) * *out_w * 3;
-    jpeg_read_scanlines(&cinfo, &row, 1);
-  }
-  jpeg_finish_decompress(&cinfo);
-  jpeg_destroy_decompress(&cinfo);
-  fclose(f);
-  return true;
-}
+#ifdef JCS_EXTENSIONS
+// libjpeg-turbo: decode directly to cv2.imread's BGR order (same DCT /
+// upsample / color-convert math as JCS_RGB — only the byte order moves,
+// so bit-parity with the cv2 path is unchanged).
+constexpr J_COLOR_SPACE kOutSpace = JCS_EXT_BGR;
+constexpr bool kSwapRB = false;
+#else
+constexpr J_COLOR_SPACE kOutSpace = JCS_RGB;
+constexpr bool kSwapRB = true;  // swizzle RGB->BGR at the copy/resize
+#endif
 
-// Bilinear resize (cv2.INTER_LINEAR half-pixel-center convention) of the
-// libjpeg RGB buffer into a sub-rectangle of the canvas, emitting BGR to
-// match cv2.imread (the whole augment pipeline is BGR until the final
-// flip at collate, data/datasets.py:429).
+// Bilinear resize (cv2.INTER_LINEAR half-pixel-center convention) into a
+// sub-rectangle of the canvas. Channel order: src is already BGR under
+// libjpeg-turbo (kSwapRB=false); plain-libjpeg RGB swizzles at the store.
 void resize_into(const uint8_t* src, int sw, int sh, uint8_t* dst,
                  int dstride_px, int dw, int dh) {
   if (sw == dw && sh == dh) {
-    // identity scale (letterbox gain 1.0 — the common case for images whose
-    // longer side already equals the canvas): straight RGB->BGR swizzle copy
+    // identity scale: straight row copy (or swizzle copy without turbo)
     for (int y = 0; y < dh; ++y) {
       const uint8_t* in = src + static_cast<size_t>(y) * sw * 3;
       uint8_t* out = dst + static_cast<size_t>(y) * dstride_px * 3;
-      for (int x = 0; x < dw; ++x) {
-        out[x * 3 + 0] = in[x * 3 + 2];
-        out[x * 3 + 1] = in[x * 3 + 1];
-        out[x * 3 + 2] = in[x * 3 + 0];
+      if (!kSwapRB) {
+        std::memcpy(out, in, static_cast<size_t>(dw) * 3);
+      } else {
+        for (int x = 0; x < dw; ++x) {
+          out[x * 3 + 0] = in[x * 3 + 2];
+          out[x * 3 + 1] = in[x * 3 + 1];
+          out[x * 3 + 2] = in[x * 3 + 0];
+        }
       }
     }
     return;
@@ -170,11 +140,93 @@ void resize_into(const uint8_t* src, int sw, int sh, uint8_t* dst,
       const float v0 = pa[x * 3 + 0] + ty * (pb[x * 3 + 0] - pa[x * 3 + 0]);
       const float v1 = pa[x * 3 + 1] + ty * (pb[x * 3 + 1] - pa[x * 3 + 1]);
       const float v2 = pa[x * 3 + 2] + ty * (pb[x * 3 + 2] - pa[x * 3 + 2]);
-      out[x * 3 + 0] = static_cast<uint8_t>(v2 + 0.5f);  // RGB->BGR
-      out[x * 3 + 1] = static_cast<uint8_t>(v1 + 0.5f);
-      out[x * 3 + 2] = static_cast<uint8_t>(v0 + 0.5f);
+      if (!kSwapRB) {
+        out[x * 3 + 0] = static_cast<uint8_t>(v0 + 0.5f);
+        out[x * 3 + 1] = static_cast<uint8_t>(v1 + 0.5f);
+        out[x * 3 + 2] = static_cast<uint8_t>(v2 + 0.5f);
+      } else {
+        out[x * 3 + 0] = static_cast<uint8_t>(v2 + 0.5f);  // RGB->BGR
+        out[x * 3 + 1] = static_cast<uint8_t>(v1 + 0.5f);
+        out[x * 3 + 2] = static_cast<uint8_t>(v0 + 0.5f);
+      }
     }
   }
+}
+
+// Resize destination computed from the full-resolution dims once the
+// header is parsed (letterbox round vs load_image trunc conventions live
+// in the caller's plan lambda).
+struct Plan {
+  int new_w, new_h;   // resize output dims
+  uint8_t* dst;       // top-left of the destination sub-rectangle
+  int stride_px;      // destination row stride in pixels
+};
+
+// Decode `path`, pick the largest IDCT downscale d in {1,2,4,8} with
+// full_w >= new_w*2d AND full_h >= new_h*2d (decoded dims stay >= the
+// resize target with >= 2x headroom, so no prescale ever triggers for
+// images under 2x their target — the bit-parity contract), then resize
+// into the planned rectangle. When the decoded dims land exactly on
+// (new_w, new_h) under turbo-BGR, scanlines stream straight into dst.
+template <typename PlanFn>
+bool decode_jpeg_to(const char* path, PlanFn make_plan,
+                    int* full_w, int* full_h) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = on_error;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  const int fw = static_cast<int>(cinfo.image_width);
+  const int fh = static_cast<int>(cinfo.image_height);
+  *full_w = fw;
+  *full_h = fh;
+  Plan p = make_plan(fw, fh);
+  int denom = 1;
+  while (denom < 8 &&
+         fw >= p.new_w * denom * 2 && fh >= p.new_h * denom * 2) {
+    denom *= 2;
+  }
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = static_cast<unsigned>(denom);
+  cinfo.out_color_space = kOutSpace;
+  jpeg_start_decompress(&cinfo);
+  const int ow = static_cast<int>(cinfo.output_width);
+  const int oh = static_cast<int>(cinfo.output_height);
+  if (!kSwapRB && ow == p.new_w && oh == p.new_h) {
+    // decoded scale == resize target: entropy-decode rows directly into
+    // the (strided) destination rectangle, no intermediate buffer
+    while (cinfo.output_scanline < cinfo.output_height) {
+      JSAMPROW row = p.dst +
+          static_cast<size_t>(cinfo.output_scanline) * p.stride_px * 3;
+      jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+  } else {
+    // reused across jobs on the same pool thread (no per-image alloc)
+    thread_local std::vector<uint8_t> scratch;
+    const size_t need = static_cast<size_t>(ow) * oh * 3;
+    if (scratch.size() < need) scratch.resize(need);
+    JSAMPROW row;
+    while (cinfo.output_scanline < cinfo.output_height) {
+      row = scratch.data() +
+          static_cast<size_t>(cinfo.output_scanline) * ow * 3;
+      jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    resize_into(scratch.data(), ow, oh, p.dst, p.stride_px,
+                p.new_w, p.new_h);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return true;
 }
 
 struct Job {
@@ -188,27 +240,33 @@ struct Job {
 };
 
 void run_job(const Job& j) {
-  std::vector<uint8_t> rgb;
-  int fw = 0, fh = 0, dw_ = 0, dh_ = 0;
-  // target for the IDCT prescale: the longer output side
-  if (!decode_jpeg(j.path, j.img_size, rgb, &fw, &fh, &dw_, &dh_)) {
+  int fw = 0, fh = 0;
+  int new_w = 0, new_h = 0, pad_x = 0, pad_y = 0;
+  const bool good = decode_jpeg_to(
+      j.path,
+      [&](int fw_, int fh_) {
+        // letterbox convention: round() on double, like data/augment.py:48
+        const double gain = std::min(
+            static_cast<double>(j.img_size) / fw_,
+            static_cast<double>(j.img_size) / fh_);
+        new_w = std::max(1, static_cast<int>(std::lround(fw_ * gain)));
+        new_h = std::max(1, static_cast<int>(std::lround(fh_ * gain)));
+        pad_x = (j.img_size - new_w) / 2;
+        pad_y = (j.img_size - new_h) / 2;
+        std::memset(j.out, j.pad_value,
+                    static_cast<size_t>(j.img_size) * j.img_size * 3);
+        return Plan{new_w, new_h,
+                    j.out + (static_cast<size_t>(pad_y) * j.img_size +
+                             pad_x) * 3,
+                    j.img_size};
+      },
+      &fw, &fh);
+  if (!good) {
     *j.ok = 0;
     return;
   }
   j.hw0[0] = fh;
   j.hw0[1] = fw;
-  // letterbox convention: round() on double, like data/augment.py:48
-  const double gain = std::min(static_cast<double>(j.img_size) / fw,
-                               static_cast<double>(j.img_size) / fh);
-  const int new_w = std::max(1, static_cast<int>(std::lround(fw * gain)));
-  const int new_h = std::max(1, static_cast<int>(std::lround(fh * gain)));
-  const int pad_x = (j.img_size - new_w) / 2;
-  const int pad_y = (j.img_size - new_h) / 2;
-  std::memset(j.out, j.pad_value,
-              static_cast<size_t>(j.img_size) * j.img_size * 3);
-  uint8_t* dst = j.out +
-      (static_cast<size_t>(pad_y) * j.img_size + pad_x) * 3;
-  resize_into(rgb.data(), dw_, dh_, dst, j.img_size, new_w, new_h);
   // recorded native->canvas transform, same contract as the rect loader's
   // ratio_pad (validator scale_coords input)
   j.ratio_pad[0] = static_cast<float>(new_h) / fh;
@@ -267,19 +325,25 @@ int et_load_letterbox_batch(const char** paths, int n, uint8_t* out,
 // failure; on success fills out (resized_h, resized_w) and native dims.
 int et_load_image(const char* path, uint8_t* out, int img_size,
                   int* h0w0, int* hw) {
-  std::vector<uint8_t> rgb;
-  int fw = 0, fh = 0, dw_ = 0, dh_ = 0;
-  if (!decode_jpeg(path, img_size, rgb, &fw, &fh, &dw_, &dh_)) return 0;
+  int fw = 0, fh = 0;
+  int new_w = 0, new_h = 0;
+  const bool good = decode_jpeg_to(
+      path,
+      [&](int fw_, int fh_) {
+        // load_image convention: int() TRUNCATION on double, like
+        // data/datasets.py load_image `int(w0 * r)` (reference
+        // datasets.py:1213)
+        const double r = static_cast<double>(img_size) / std::max(fw_, fh_);
+        new_w = std::max(1, static_cast<int>(fw_ * r));
+        new_h = std::max(1, static_cast<int>(fh_ * r));
+        return Plan{new_w, new_h, out, new_w};
+      },
+      &fw, &fh);
+  if (!good) return 0;
   h0w0[0] = fh;
   h0w0[1] = fw;
-  // load_image convention: int() TRUNCATION on double, like
-  // data/datasets.py load_image `int(w0 * r)` (reference datasets.py:1213)
-  const double r = static_cast<double>(img_size) / std::max(fw, fh);
-  const int new_w = std::max(1, static_cast<int>(fw * r));
-  const int new_h = std::max(1, static_cast<int>(fh * r));
   hw[0] = new_h;
   hw[1] = new_w;
-  resize_into(rgb.data(), dw_, dh_, out, new_w, new_w, new_h);
   return 1;
 }
 

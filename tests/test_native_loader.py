@@ -120,4 +120,11 @@ def test_dataset_native_path_matches_cv2(jpegs, tmp_path):
         img_c, hw0_c, hw_c = ds_cv.load_image(i)
         img_n, hw0_n, hw_n = ds_nl.load_image(i)
         assert hw0_c == hw0_n and hw_c == hw_n
-        np.testing.assert_array_equal(img_c, img_n)
+        h0, w0 = hw0_c
+        if max(h0, w0) >= 2 * 640:
+            # IDCT-prescaled decode (>=2x image): sub-visible drift vs the
+            # full-resolution cv2 decode+resize is the documented contract
+            d = np.abs(img_c.astype(int) - img_n.astype(int))
+            assert d.mean() < 3.0, f"prescale drift: mean|d|={d.mean():.2f}"
+        else:
+            np.testing.assert_array_equal(img_c, img_n)
