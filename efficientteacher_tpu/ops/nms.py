@@ -59,10 +59,22 @@ def greedy_nms_keep(
     beyond that point. This is what makes the reference's max_nms=30000
     candidate cap (general.py:1024,1061) affordable on TPU: crowded images
     resolve in the first few tiles instead of sweeping all ~120.
+
+    The sweep is additionally bounded by the LAST valid row: tiles past it
+    are all-padding, whose greedy result IS their `valid` initialization
+    (all False, and rows that keep nothing suppress nothing), so skipping
+    them is exact for ANY valid mask. Without this bound a sparse candidate
+    field is the worst case — `cnt` never reaches `stop_at` and the sweep
+    grinds every tile of the max_nms buffer's O(tiles^2) cross pass
+    (measured 208 ms/batch of the b32@640 eval program, scripts/
+    profile_eval.py r5); density-bounded it costs only what's live.
     """
     k = boxes.shape[0]
     assert k % tile == 0, f"K={k} must be a multiple of tile={tile}"
     num_tiles = k // tile
+    last_valid = jnp.max(jnp.where(valid, jnp.arange(k, dtype=jnp.int32),
+                                   jnp.int32(-1)))
+    valid_tiles = (last_valid + tile) // tile  # ceil((last+1)/tile); 0 if none
     tri = jnp.triu(jnp.ones((tile, tile), dtype=bool), 1)  # i < j strict
 
     def outer(ti, keep):
@@ -97,11 +109,11 @@ def greedy_nms_keep(
         return jax.lax.dynamic_update_slice(keep, act, (row0,))
 
     if stop_at is None:
-        return jax.lax.fori_loop(0, num_tiles, outer, valid)
+        return jax.lax.fori_loop(0, valid_tiles, outer, valid)
 
     def sweep_cond(state):
         ti, _, cnt = state
-        return (ti < num_tiles) & (cnt < stop_at)
+        return (ti < valid_tiles) & (cnt < stop_at)
 
     def sweep_body(state):
         ti, keep, cnt = state
@@ -323,10 +335,17 @@ def batched_nms(
                 selection = "pallas"
             else:
                 selection = "exact"
-        if selection == "pallas":
-            from .select_pallas import exact_topk_flat
+        if selection in ("pallas", "pallas_rows", "pallas_elems"):
+            from .select_pallas import exact_topk_elems, exact_topk_rows
 
-            top_scores, top_idx = exact_topk_flat(
+            # "pallas" = the best engine for the shape: the element-
+            # granularity compaction's cost depends only on candidate
+            # count (bisection keeps it bounded at ANY density), the row
+            # engine must fall back to raw top_k past its row cap.
+            # Explicit names pin an engine for tests/experiments.
+            engine = (exact_topk_rows if selection == "pallas_rows"
+                      else exact_topk_elems)
+            top_scores, top_idx = engine(
                 flat, k_eff, interpret=jax.default_backend() != "tpu")
         elif selection == "approx" and k_eff < flat.shape[1]:
             # recall-0.95 approximate selection: only the lowest-conf

@@ -50,8 +50,18 @@ def _tile_iou(c_a, c_b):
 
 def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, iou_thres: float,
                 tile: int, k: int, stop_at: int | None):
-    num_tiles = k // tile
     tri = jnp.triu(jnp.ones((tile, tile), dtype=jnp.float32), 1)
+
+    # Bound the sweep by the LAST valid row: all-padding tiles' greedy
+    # result IS their `valid` initialization (written below), so skipping
+    # them is exact for any mask. Critical for sparse candidate fields,
+    # where `cnt < stop_at` alone never exits and the sweep grinds every
+    # tile of the max_nms buffer (208 ms/batch at b32@640 eval — the r4
+    # serving claim/record gap, scripts/profile_eval.py r5 attribution).
+    v = valid_ref[0, :, :]                               # (1, k) f32 0/1
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    last_valid = jnp.max(jnp.where(v > 0.0, idx, -1))
+    valid_tiles = (last_valid + tile) // tile            # 0 when none valid
 
     def load_coords(row0):
         return tuple(
@@ -96,20 +106,21 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, iou_thres: float,
         return jnp.sum(act).astype(jnp.float32)
 
     if stop_at is None:
-        jax.lax.fori_loop(0, num_tiles, lambda ti, c: c + outer(ti, c), 0.0)
+        jax.lax.fori_loop(0, valid_tiles, lambda ti, c: c + outer(ti, c),
+                          0.0)
     else:
         # early exit once stop_at rows are kept (same contract as
         # ops.nms.greedy_nms_keep stop_at: exact for the first stop_at kept
         # rows; later tiles keep their `valid` initialization)
-        def body(ti, cnt):
-            return jax.lax.cond(
-                cnt < float(stop_at),
-                lambda c: c + outer(ti, c),
-                lambda c: c,
-                cnt,
-            )
+        def cond(state):
+            ti, cnt = state
+            return (ti < valid_tiles) & (cnt < float(stop_at))
 
-        jax.lax.fori_loop(0, num_tiles, body, 0.0)
+        def body(state):
+            ti, cnt = state
+            return ti + 1, cnt + outer(ti, cnt)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), 0.0))
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thres", "tile", "stop_at"))

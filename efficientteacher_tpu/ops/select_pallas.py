@@ -34,9 +34,15 @@ Mosaic only lowers lane-dim dynamic stores at 128-aligned offsets, so
 the offset advances in whole 128-lane groups with a (3, 128) carry
 buffer holding the remainder (see _compact_kernel).
 
-Measured (v5e, b32, (25200 x 80) lattice, 26-33k candidates/img):
-selection 24 ms/batch vs lax.top_k 134 ms; full eval NMS 35 ms/batch =
-1.1 ms/img vs 4.9 exact — identical outputs.
+Measured (v5e, b32, (25200 x 80) lattice — r5 xprof attribution,
+scripts/profile_eval.py, recorded in STATUS.md): at representative eval
+density (sparse candidate field, tier r1) selection costs ~17.5 ms/batch
+(row-gather 16.6 + compaction 0.16 + the small top_k 0.76) where XLA's
+exact TopK costs ~129 ms; the full eval program (bf16 forward + decode +
+NMS) runs 67 ms/batch = 2.1 ms/img. At pathological density (saturated
+objectness, every row live) the raw-top_k fallback tier re-pays the XLA
+floor by construction: 194 ms/batch = 6.1 ms/img. Identical outputs to
+lax.top_k in every tier.
 """
 
 from __future__ import annotations
@@ -112,11 +118,14 @@ def _compact_kernel(tau_lo_ref, tau_hi_ref, scores_ref, out_ref,
                 m = (s >= tlo) & (s <= thi)
                 mf = m.astype(jnp.float32)
                 # dest slot = carry_len + exclusive prefix count, via an
-                # MXU cumsum: pos[j] = clen + sum_{i<j} m_i
+                # MXU cumsum: pos[j] = clen + sum_{i<j} m_i. DEFAULT
+                # precision is exact here: both operands are 0/1
+                # (bf16-exact) and the MXU accumulates in f32, so the
+                # counts (<= S) are exact integers — unlike the vals slab
+                # below, whose f32 scores need HIGHEST
                 pos = (jax.lax.dot_general(
                     mf, tri, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
                 ) + clen.astype(jnp.float32)).astype(jnp.int32)
                 # one-hot permutation: onehot[j, k] = (pos_j == k) & m_j;
                 # the mask folds into pos as an out-of-range dest (-1)
@@ -213,11 +222,129 @@ def _threshold_compact(scores, tau_lo, tau_hi, capb: int, interpret: bool):
     )(tau_lo.reshape(b, 1), tau_hi.reshape(b, 1), scores4)
 
 
+_T_BISECT = 8   # thresholds counted per bisection pass (one bandwidth read)
+_P_BISECT = 5   # max bisection passes before conceding to raw top_k
+_SLACK = 32768  # capacity beyond k: wide count window => few passes land it
+
+
+def _count_ge(scores, taus):
+    """counts[b, t] = #{n : scores[b, n] >= taus[b, t]} — ONE bandwidth
+    pass: the broadcast compare fuses into the reduction (no (B, N, T)
+    materialization)."""
+    return jnp.sum(
+        (scores[:, :, None] >= taus[:, None, :]).astype(jnp.int32), axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def exact_topk_flat(scores, k: int, interpret: bool = False):
+def exact_topk_elems(scores, k: int, interpret: bool = False):
+    """Exact `lax.top_k(scores, k)` over (B, N) masked score rows
+    (non-candidates = -1, candidates strictly > 0), including the
+    lowest-index-first tie rule — ELEMENT-granularity engine.
+
+    Where `exact_topk_rows` selects live 128-lane ROWS (and must fall
+    back to raw top_k when more than its row cap light up), this engine
+    compacts surviving ELEMENTS, so its cost depends only on the
+    candidate count, never on how they spread across rows:
+
+      1. one bandwidth pass counts candidates per image;
+      2. if every image fits the k + _SLACK buffer, the compaction
+         kernel packs ALL candidates [score, idx] in ascending index
+         order (tau = 0 keeps exactly the strictly-positive scores);
+      3. else a per-image VALUE bisection finds tau with
+         count(s >= tau) in [k, cap] — _T_BISECT thresholds per
+         bandwidth pass, <= _P_BISECT passes — and compacts s >= tau
+         (>= keeps all ties at tau, so the small top_k reproduces the
+         index tie rule); degenerate spectra (> cap candidates inside
+         one ulp) concede to raw lax.top_k, keeping every path exact;
+      4. a small lax.top_k orders the buffer; buffer order = ascending
+         flat index, so tie semantics match exact TopK bit-for-bit.
+
+    Indices where the returned score is <= 0 are 0 (same contract as
+    exact_topk_rows: callers gate on score > 0)."""
+    b, n = scores.shape
+    capb = pl.cdiv(k + _SLACK + 2 * _W, 128) * 128
+    if n <= capb + 4096:  # compaction can't beat sorting the lattice
+        return tuple(jax.lax.top_k(scores, k))
+    cap_use = capb - _W - 128  # survivors beyond capb - W would drop
+
+    total = jnp.sum((scores > 0.0).astype(jnp.int32), axis=1)   # (B,)
+    kmin = jnp.minimum(k, total)
+    inf = jnp.full((b,), jnp.float32(jnp.inf))
+
+    def compact_tier(tau):
+        def f():
+            buf = _threshold_compact(scores, tau, inf, capb, interpret)
+            ts, pos = jax.lax.top_k(buf[:, 0, :], k)
+            idx = (jnp.take_along_axis(buf[:, 1, :], pos, axis=1)
+                   * _IDX_SPLIT
+                   + jnp.take_along_axis(buf[:, 2, :], pos, axis=1)
+                   ).astype(jnp.int32)
+            return ts, jnp.where(ts > 0.0, idx, 0)
+        return f
+
+    def fallback():
+        return tuple(jax.lax.top_k(scores, k))
+
+    def bisect():
+        # per-image value bisection for tau with count(s >= tau) in
+        # [kmin, cap_use]; counts are monotone non-increasing in tau, so
+        # (count > cap) is a prefix of each pass's tau grid and
+        # (count < kmin) a suffix — the bracket narrows ~(T+1)x per pass
+        smax = jnp.max(scores, axis=1)
+        found0 = total <= cap_use  # these images take tau=0 (all cands)
+        tau0 = jnp.zeros((b,), jnp.float32)
+        fr = jnp.arange(1, _T_BISECT + 1, dtype=jnp.float32) / (
+            _T_BISECT + 1)
+
+        def cond(st):
+            it = st[0]
+            return (it < _P_BISECT) & ~jnp.all(st[3])
+
+        def body(st):
+            it, lo, hi, found, tau = st
+            taus = lo[:, None] + fr[None, :] * (hi - lo)[:, None]
+            counts = _count_ge(scores, taus)                    # (B, T)
+            ok = (counts >= kmin[:, None]) & (counts <= cap_use)
+            any_ok = jnp.any(ok, axis=1)
+            first = jnp.argmax(ok, axis=1)
+            tau_ok = jnp.take_along_axis(taus, first[:, None], 1)[:, 0]
+            tau = jnp.where(~found & any_ok, tau_ok, tau)
+            n_gt = jnp.sum((counts > cap_use).astype(jnp.int32), axis=1)
+            new_lo = jnp.where(
+                n_gt > 0,
+                jnp.take_along_axis(
+                    taus, jnp.maximum(n_gt - 1, 0)[:, None], 1)[:, 0],
+                lo)
+            n_lt = jnp.sum((counts < kmin[:, None]).astype(jnp.int32),
+                           axis=1)
+            new_hi = jnp.where(
+                n_lt > 0,
+                jnp.take_along_axis(
+                    taus,
+                    jnp.minimum(_T_BISECT - n_lt,
+                                _T_BISECT - 1)[:, None], 1)[:, 0],
+                hi)
+            upd = ~(found | any_ok)
+            return (it + 1, jnp.where(upd, new_lo, lo),
+                    jnp.where(upd, new_hi, hi), found | any_ok, tau)
+
+        st = (jnp.int32(0), jnp.zeros((b,), jnp.float32), smax,
+              found0, tau0)
+        _, _, _, found, tau = jax.lax.while_loop(cond, body, st)
+        return jax.lax.cond(jnp.all(found), compact_tier(tau), fallback)
+
+    return jax.lax.cond(jnp.max(total) <= cap_use,
+                        compact_tier(jnp.zeros((b,), jnp.float32)),
+                        bisect)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def exact_topk_rows(scores, k: int, interpret: bool = False):
     """Exact `lax.top_k(scores, k)` over (B, N) masked score rows
     (non-candidates = -1, candidates strictly > 0), including the
     lowest-index-first tie rule. Returns (top_scores, top_idx) (B, k).
+    ROW-granularity engine (r4); see exact_topk_elems for the r5
+    element-granularity engine whose cost is density-independent.
 
     Row-granularity selection: candidates only exist in "live" 128-lane
     rows of the lattice (a hot anchor lights a run of class columns), so
@@ -282,3 +409,10 @@ def exact_topk_flat(scores, k: int, interpret: bool = False):
     else:
         crowded = fallback
     return jax.lax.cond(nmax <= r1, tier(r1), crowded)
+
+
+# Default engine behind ops/nms.batched_nms(selection="pallas") and the
+# historical import name: element granularity — cost tracks the candidate
+# count at any density (the row engine re-pays the raw-top_k floor when
+# more rows light than its cap).
+exact_topk_flat = exact_topk_elems

@@ -53,6 +53,44 @@ def test_greedy_keep_matches_naive():
     assert got == want
 
 
+def test_greedy_keep_density_bound_exact():
+    """The sweep's last-valid-row bound (the r5 serving fix: a sparse
+    candidate field must not grind every tile of the max_nms buffer) stays
+    EXACT at any density, for prefix and non-prefix valid masks, with and
+    without stop_at — including the all-padding case."""
+    rng = np.random.default_rng(7)
+    k, tile = 2048, 256
+    for n_valid in (0, 1, 9, 180, 700):
+        for trial in range(2):
+            boxes = np.zeros((k, 4), np.float32)
+            xy = rng.uniform(0, 300, (n_valid, 2))
+            wh = rng.uniform(10, 90, (n_valid, 2))
+            boxes[:n_valid] = np.concatenate([xy, xy + wh], -1)
+            valid = np.zeros(k, bool)
+            valid[:n_valid] = True
+            if trial == 1 and n_valid > 4:  # holes: contract is ANY mask
+                valid[rng.choice(n_valid, n_valid // 3, replace=False)] = 0
+            # oracle on the valid rows only (greedy in row order)
+            ref = np.zeros(k, bool)
+            live = np.nonzero(valid)[0]
+            for i in live:
+                ref[i] = True
+                for j in live[live < i]:
+                    if ref[j] and _iou(boxes[j], boxes[i]) > 0.5:
+                        ref[i] = False
+                        break
+            for stop_at in (None, 25):
+                keep = np.asarray(greedy_nms_keep(
+                    jnp.asarray(boxes), jnp.asarray(valid), 0.5,
+                    tile=tile, stop_at=stop_at))
+                if stop_at is None:
+                    np.testing.assert_array_equal(keep, ref)
+                else:  # exact for the first stop_at kept rows
+                    lim = np.cumsum(keep) <= stop_at
+                    np.testing.assert_array_equal(keep[lim], ref[lim])
+                assert not keep[~valid].any()
+
+
 def _make_pred(rng, b, n, nc):
     pred = np.zeros((b, n, 5 + nc), np.float32)
     pred[..., 0:2] = rng.uniform(50, 600, (b, n, 2))   # cx, cy
