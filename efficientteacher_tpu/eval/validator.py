@@ -56,7 +56,8 @@ def _scale_to_native(boxes: np.ndarray, letterbox_hw: Tuple[int, int],
 def make_infer_fn(model, nc: int, conf_thres: float, iou_thres: float,
                   max_det: int, max_nms: int, norm_scale: float,
                   compute_dtype=jnp.bfloat16, approx_topk: bool = False,
-                  num_points: int = 0, selection: str | None = None):
+                  num_points: int = 0, selection: str | None = None,
+                  mesh=None):
     """`selection`: candidate-selection engine (ops/nms.py batched_nms) —
     None auto-picks the exact Pallas row-gather path on TPU.
     `approx_topk`: legacy serving knob — approximate candidate selection
@@ -65,9 +66,16 @@ def make_infer_fn(model, nc: int, conf_thres: float, iou_thres: float,
     `num_points > 0`: keypoint models — keypoint channels ride through NMS
     and the candidate gate/multi-label settings mirror the reference's
     landmark path (val.py:333 calls non_max_suppression_lmk_and_bbox with
-    multi_label left False; gate is obj-only, general.py:791)."""
-    @jax.jit
-    def infer(variables, images_u8):
+    multi_label left False; gate is obj-only, general.py:791).
+    `mesh`: shard validation over a device mesh (TPU-first deviation from
+    the reference's rank-0-only val, trainer/trainer.py:445-457): the
+    batch dim is split over EVERY mesh axis via shard_map — params
+    replicated, each device runs forward + NMS on its own shard with zero
+    collectives (eval has no cross-batch coupling; BN uses stored stats).
+    shard_map rather than bare GSPMD so the Pallas NMS/selection kernels
+    execute per-device instead of being gathered to a replicated custom
+    call. The global batch must divide the mesh size."""
+    def infer_body(variables, images_u8):
         x = images_u8.astype(compute_dtype) / norm_scale
         out = model.apply(variables, x, train=False)
         if isinstance(out, tuple) and len(out) == 2 and not isinstance(
@@ -83,7 +91,19 @@ def make_infer_fn(model, nc: int, conf_thres: float, iou_thres: float,
             obj_gate=num_points > 0, selection=selection,
         )
 
-    return infer
+    if mesh is None:
+        return jax.jit(infer_body)
+    from jax.sharding import PartitionSpec as P
+
+    bspec = P(tuple(mesh.axis_names))  # batch over ALL axes (dp, or dp x sp)
+    # check_vma=False: the NMS sweep's while_loop carries mix unvarying
+    # literals with per-shard values, which the varying-manual-axes type
+    # check rejects; the body is per-shard pure (no collectives), so the
+    # check adds nothing here
+    return jax.jit(jax.shard_map(
+        infer_body, mesh=mesh, in_specs=(P(), bspec), out_specs=bspec,
+        check_vma=False,
+    ))
 
 
 def _scale_landmarks_to_native(kps: np.ndarray, letterbox_hw, native_hw,
@@ -136,9 +156,16 @@ def run(
     val_kp: bool = False,
     selection: Optional[str] = None,
     approx_topk: bool = False,
+    mesh=None,
 ):
     """Evaluate `model(variables)` over `loader`. Returns
     ((mp, mr, map50, map), per_class_maps, cls_thr).
+
+    mesh: shard the jitted infer over a device mesh (batch split over all
+    mesh axes, see make_infer_fn) so epoch-end validation uses every chip
+    instead of leaving n-1 idle; host-side metric accumulation is
+    unchanged. Falls back to single-device when the batch size does not
+    divide the mesh.
 
     save_json: path for COCO-format predictions with reference semantics —
     image_id from the filename stem (reference val.py:67-74) and, when
@@ -162,10 +189,22 @@ def run(
     stats = []
     json_preds = []
     cm = ConfusionMatrix(nc) if confusion else None
-    infer = make_infer_fn(model, nc, conf_thres, iou_thres, max_det,
-                          max_nms, norm_scale, compute_dtype,
-                          num_points=num_points, selection=selection,
-                          approx_topk=approx_topk)
+    infer = None  # built at the first batch (mesh divisibility is bs-aware)
+
+    def _build_infer(bs):
+        m = mesh
+        if m is not None and bs % m.size:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "sharded val disabled: batch %d does not divide mesh "
+                "size %d", bs, m.size)
+            m = None
+        return make_infer_fn(model, nc, conf_thres, iou_thres, max_det,
+                             max_nms, norm_scale, compute_dtype,
+                             num_points=num_points, selection=selection,
+                             approx_topk=approx_topk, mesh=m)
+
     compiled_bs = None
     import time as _time
 
@@ -269,6 +308,7 @@ def run(
         n_images += bs
         if compiled_bs is None:
             compiled_bs = bs
+            infer = _build_infer(bs)
         if bs < compiled_bs:  # pad ragged final batch to compiled batch dim
             pad = compiled_bs - bs
             images = np.concatenate(

@@ -211,6 +211,15 @@ class SSODTrainer(Trainer):
         if self.epoch == self.burn_epochs and not self.teacher_seeded:
             LOGGER.info("burn-in complete: seeding teacher from EMA")
             self.state = seed_teacher_from_ema(self.state)
+            if self.mesh is not None:
+                # the seeding copies land on the default device; restore
+                # uniform mesh replication or the first post-seed step
+                # compiles once for the mixed sharding and AGAIN for its
+                # own output sharding (caught by the LabelMatch e2e test's
+                # compile counter)
+                from ..parallel.mesh import replicate
+
+                self.state = replicate(self.mesh, self.state)
             self.teacher_seeded = True
         if self.epoch < self.burn_epochs:
             self._train_burn_in()
@@ -388,6 +397,7 @@ class SSODTrainer(Trainer):
                 self.model, variables, self.val_loader, nc=self.spec.nc,
                 conf_thres=float(self.cfg.val_conf_thres),
                 compute_dtype=self.compute_dtype,
+                mesh=self.mesh,  # sharded teacher val (see trainer.py)
             )
             LOGGER.info("epoch %d teacher val P=%.4f R=%.4f mAP50=%.4f "
                         "mAP=%.4f", self.epoch, *results)

@@ -517,6 +517,8 @@ class Trainer:
                 nc=self.spec.nc,
                 conf_thres=float(self.cfg.val_conf_thres),
                 compute_dtype=self.compute_dtype,
+                mesh=self.mesh,  # epoch-end val uses every chip (vs the
+                # reference's rank-0-only val, trainer.py:445-457)
             )
             LOGGER.info(
                 "epoch %d val P=%.4f R=%.4f mAP50=%.4f mAP=%.4f",
