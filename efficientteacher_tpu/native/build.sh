@@ -6,6 +6,12 @@
 # forked loader workers may race this script (utils/native_loader.py holds a
 # cross-process flock, but a hand-run build must not expose a half-written
 # .so to a concurrent dlopen either).
+#
+# Header/runtime match: JCS_EXT_BGR is compiled in when the BUILD headers
+# are libjpeg-turbo, but the .so may dlopen against a different runtime
+# libjpeg. loader_core.cpp probes the runtime once at load and falls back
+# to JCS_RGB + swizzle (with a stderr warning) when EXT colorspaces are
+# rejected, so a mismatch degrades, never silently fails every decode.
 set -e
 cd "$(dirname "$0")"
 tmp="libetloader.so.tmp.$$"

@@ -33,7 +33,17 @@ def _load() -> Optional[ctypes.CDLL]:
         if _tried:
             return _lib
         _tried = True
-        if not _SO.exists():
+
+        def _stale():
+            if not _SO.exists():
+                return True
+            src = _NATIVE_DIR / "loader_core.cpp"
+            try:  # rebuild when the source outdates the published .so
+                return src.stat().st_mtime > _SO.stat().st_mtime
+            except OSError:
+                return False
+
+        if _stale():
             # serialize first-use builds ACROSS processes (forked loader
             # workers all hit this path at once): flock a sidecar lockfile,
             # re-check under the lock, and rely on build.sh's atomic rename
@@ -43,7 +53,7 @@ def _load() -> Optional[ctypes.CDLL]:
 
                 with open(_NATIVE_DIR / ".build.lock", "w") as lockf:
                     fcntl.flock(lockf, fcntl.LOCK_EX)
-                    if not _SO.exists():
+                    if _stale():
                         subprocess.run(
                             ["sh", str(_NATIVE_DIR / "build.sh")],
                             check=True, capture_output=True, text=True,

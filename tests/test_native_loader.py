@@ -19,6 +19,34 @@ pytestmark = pytest.mark.skipif(
     not nl.available(), reason="native loader not built (g++/libjpeg)")
 
 
+def _prescale_engaged(h0, w0, img_size):
+    """Mirror of the C side's per-axis, truncation-based IDCT prescale
+    condition for the load_image path (loader_core.cpp et_load_image:
+    new = max(1, int(dim * r)); denom doubles while fw >= 2*new_w AND
+    fh >= 2*new_h). A max(h0,w0) >= 2*img_size shortcut is WRONG near the
+    boundary: e.g. longer side 1278-1279 truncates new to 639 and engages
+    the 1/2 prescale below 2*640."""
+    r = img_size / max(h0, w0)
+    new_w = max(1, int(w0 * r))
+    new_h = max(1, int(h0 * r))
+    return w0 >= 2 * new_w and h0 >= 2 * new_h
+
+
+def _assert_prescale_close(img_n, ref, what=""):
+    """Prescaled decodes drift sub-visibly vs cv2's full-res decode+resize:
+    bound the mean AND the per-pixel tail so localized gross corruption
+    (e.g. a strided-write bug in the direct-to-canvas path) cannot hide
+    under a loose mean (ADVICE r4)."""
+    d = np.abs(img_n.astype(int) - ref.astype(int))
+    assert d.mean() < 3.0, f"{what} prescale drift: mean|d|={d.mean():.2f}"
+    # measured on the adversarial blurred-noise fixture: p99=10, max=20
+    # (2000x3000 @ q90); corruption saturates near 255, so 16/48 separate
+    # cleanly while giving legitimate IDCT-vs-resize drift 2x headroom
+    assert np.percentile(d, 99) <= 16, (
+        f"{what} prescale tail: p99={np.percentile(d, 99):.1f}")
+    assert d.max() <= 48, f"{what} prescale outlier: max|d|={d.max()}"
+
+
 @pytest.fixture(scope="module")
 def jpegs(tmp_path_factory):
     root = tmp_path_factory.mktemp("nl")
@@ -37,7 +65,7 @@ def jpegs(tmp_path_factory):
 def test_load_image_bit_parity_no_prescale(jpegs):
     paths, sizes = jpegs
     for p, (h, w) in zip(paths, sizes):
-        if max(h, w) >= 2 * 640:
+        if _prescale_engaged(h, w, 640):
             continue  # prescale case covered below
         out = nl.load_image(p, 640)
         assert out is not None
@@ -71,8 +99,8 @@ def test_load_image_prescale_close(jpegs):
     ref = cv2.resize(bgr, (int(3000 * r), int(2000 * r)),
                      interpolation=cv2.INTER_LINEAR)
     assert img_n.shape == ref.shape
-    d = np.abs(img_n.astype(int) - ref.astype(int))
-    assert d.mean() < 3.0, f"prescale drift too large: mean|d|={d.mean():.2f}"
+    assert _prescale_engaged(2000, 3000, 640)
+    _assert_prescale_close(img_n, ref, "load_image")
 
 
 def test_batch_letterbox_geometry(jpegs):
@@ -121,10 +149,9 @@ def test_dataset_native_path_matches_cv2(jpegs, tmp_path):
         img_n, hw0_n, hw_n = ds_nl.load_image(i)
         assert hw0_c == hw0_n and hw_c == hw_n
         h0, w0 = hw0_c
-        if max(h0, w0) >= 2 * 640:
-            # IDCT-prescaled decode (>=2x image): sub-visible drift vs the
+        if _prescale_engaged(h0, w0, 640):
+            # IDCT-prescaled decode: sub-visible drift vs the
             # full-resolution cv2 decode+resize is the documented contract
-            d = np.abs(img_c.astype(int) - img_n.astype(int))
-            assert d.mean() < 3.0, f"prescale drift: mean|d|={d.mean():.2f}"
+            _assert_prescale_close(img_n, img_c, "dataset")
         else:
             np.testing.assert_array_equal(img_c, img_n)
