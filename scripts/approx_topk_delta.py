@@ -28,9 +28,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def write_dataset(root: Path, rng, n_images=32, crowded=False, nc=3):
+def write_dataset(root: Path, rng, n_images=32, crowded=False, nc=3,
+                  mixed=False):
     """Rect-object synthetic set (mirrors tests/test_e2e_val_parity.py
-    _write_dataset); crowded=True packs 30-60 small boxes per image."""
+    _write_dataset); crowded=True packs 30-60 small boxes per image;
+    mixed=True alternates sparse/crowded images (training set — the
+    crowded eval leg is vacuous unless the model has seen the crowded
+    scale distribution; the r5 first run trained sparse-only and scored
+    0.0 mAP on crowded, measuring generalization, not selection)."""
     import cv2
 
     img_dir, lab_dir = root / "images", root / "labels"
@@ -43,7 +48,11 @@ def write_dataset(root: Path, rng, n_images=32, crowded=False, nc=3):
     for i in range(n_images):
         h, w = sizes[i % len(sizes)]
         img = np.full((h, w, 3), 70, np.uint8)
-        if crowded:
+        if mixed:
+            crowd_this = i % 2 == 1
+        else:
+            crowd_this = crowded
+        if crowd_this:
             n = int(rng.integers(30, 61))
             lo, hi = 0.04, 0.10
         else:
@@ -122,11 +131,11 @@ def main():
     rng = np.random.default_rng(7)
     tmp = Path(tempfile.mkdtemp(prefix="approx_delta_"))
 
-    # Train ONCE on the sparse set (the detector generalizes to the crowded
-    # variant — same rectangle objects, more of them); the exact/approx
-    # delta is an EVAL-time property of candidate selection, so the same
-    # weights measure it on both densities.
-    train_list = write_dataset(tmp / "trainset", rng, crowded=False)
+    # Train ONCE on a MIXED sparse/crowded set so both eval legs are in
+    # the model's scale distribution; the exact/approx delta is an
+    # EVAL-time property of candidate selection, so the same weights
+    # measure it on both densities.
+    train_list = write_dataset(tmp / "trainset", rng, mixed=True)
     cfg = tiny_cfg(train_list, tmp / "trainset")
     cfg.name = "delta_train"
     cfg.freeze()

@@ -24,7 +24,7 @@ cd "$(dirname "$0")/.."
 MODELS="yolov5s yolov5l"
 DATA="../datasets"
 TOL="0.5"
-DRY_LIST=""; DRY_CFG=""; DRY_WEIGHTS=""; DRY_EXPECT="0.0"
+DRY_LIST=""; DRY_CFG=""; DRY_WEIGHTS=""; DRY_EXPECT="0.0"; DRY_NAME="dryrun"
 while [ "$#" -gt 0 ]; do
   case "$1" in
     --models) MODELS="$2"; shift 2 ;;
@@ -34,6 +34,7 @@ while [ "$#" -gt 0 ]; do
     --dry-cfg) DRY_CFG="$2"; shift 2 ;;
     --dry-weights) DRY_WEIGHTS="$2"; shift 2 ;;
     --dry-expect) DRY_EXPECT="$2"; shift 2 ;;
+    --dry-name) DRY_NAME="$2"; shift 2 ;;  # e.g. an *-ssod row id
     *) echo "unknown flag $1" >&2; exit 2 ;;
   esac
 done
@@ -90,7 +91,7 @@ run_one() { # name cfg weights_pt val_list coco_gt expected
 }
 
 if [ -n "$DRY_LIST" ]; then
-  run_one "dryrun" "$DRY_CFG" "$DRY_WEIGHTS" "$DRY_LIST" "" "$DRY_EXPECT"
+  run_one "$DRY_NAME" "$DRY_CFG" "$DRY_WEIGHTS" "$DRY_LIST" "" "$DRY_EXPECT"
 else
   COCO="$DATA/coco"
   VAL_LIST="$COCO/val2017.txt"

@@ -191,13 +191,19 @@ def exp_vmem(values=(0, 32768, 65536, 98304)):
             env["LIBTPU_INIT_ARGS"] = (
                 env.get("LIBTPU_INIT_ARGS", "") +
                 f" --xla_tpu_scoped_vmem_limit_kib={v}").strip()
-        r = subprocess.run(
-            [sys.executable, "-c", VMEM_CHILD.format(repo=repo)],
-            env=env, capture_output=True, text=True, timeout=1800)
-        if r.returncode == 0 and r.stdout.strip():
-            out[tag] = json.loads(r.stdout.strip().splitlines()[-1])
-        else:
-            out[tag] = {"error": (r.stderr or "")[-300:]}
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", VMEM_CHILD.format(repo=repo)],
+                env=env, capture_output=True, text=True, timeout=2400)
+            if r.returncode == 0 and r.stdout.strip():
+                out[tag] = json.loads(r.stdout.strip().splitlines()[-1])
+            else:
+                out[tag] = {"error": (r.stderr or "")[-300:]}
+        except subprocess.TimeoutExpired:
+            # a fresh no-cache compile through a contended tunnel can blow
+            # the window; record and keep sweeping (the sweep must never
+            # lose earlier values to one stuck point)
+            out[tag] = {"error": "timeout (2400s)"}
         print(json.dumps({"experiment": "vmem", "value": tag,
                           **out[tag]}), flush=True)
     return out
