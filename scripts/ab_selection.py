@@ -1,0 +1,130 @@
+"""A/B the candidate-selection engines inside the full eval program (r5).
+
+Times eval/validator.make_infer_fn (YOLOv5l bf16 b32@640, reference eval
+settings conf 0.001 / iou 0.6 / max_nms 30000 — utils/general.py:994-1098)
+with selection = pallas_rows / pallas_elems / exact, in both weight
+regimes (representative fresh-init sparse field; pathological saturated
+objectness), and fuzz-checks elems == exact bit-identically ON HARDWARE
+(not just interpreter mode). Decides which engine "pallas" should alias.
+
+Usage (TPU default env): python scripts/ab_selection.py [--reps 12]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=12)
+    ap.add_argument("--batch", type=int, default=32)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+
+    from efficientteacher_tpu.configs import get_cfg
+    from efficientteacher_tpu.eval.validator import make_infer_fn
+    from efficientteacher_tpu.models import Model
+    from efficientteacher_tpu.models.spec import spec_from_cfg
+    from efficientteacher_tpu.ops.select_pallas import (
+        exact_topk_elems, exact_topk_rows,
+    )
+
+    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+
+    # --- hardware exactness fuzz: elems == lax.top_k on the real chip ---
+    rng = np.random.default_rng(0)
+    for trial in range(6):
+        n = int(rng.choice([262144, 2016000]))
+        npos = int(rng.integers(0, min(n, 400000)))
+        sc = np.full((2, n), -1.0, np.float32)
+        for b in range(2):
+            pos = rng.choice(n, npos, replace=False)
+            sc[b, pos] = rng.uniform(1e-5, 1.0, npos).astype(np.float32)
+        if rng.random() < 0.5:
+            lo = int(rng.integers(0, n - 50000))
+            sc[0, lo:lo + 50000] = np.float32(rng.random())
+        k = int(rng.choice([300, 30000]))
+        x = jnp.asarray(sc)
+        for name, eng in (("elems", exact_topk_elems),
+                          ("rows", exact_topk_rows)):
+            ts, ti = map(np.asarray, eng(x, k))
+            rs, ri = map(np.asarray, jax.lax.top_k(x, k))
+            np.testing.assert_array_equal(ts, rs, err_msg=f"{name} t{trial}")
+            v = rs > 0
+            np.testing.assert_array_equal(ti[v], ri[v],
+                                          err_msg=f"{name} t{trial}")
+        print(f"hw exactness trial {trial}: ok (n={n}, npos={npos}, k={k})",
+              file=sys.stderr)
+    print(json.dumps({"hw_exactness": "ok", "trials": 6}), flush=True)
+
+    # --- timing inside the full eval program, both regimes ---
+    cfg = get_cfg()
+    cfg.Model.Backbone.name = "YoloV5"
+    cfg.Model.Neck.name = "YoloV5"
+    cfg.Model.Head.name = "YoloV5"
+    cfg.Model.Neck.in_channels = [256, 512, 1024]
+    cfg.Model.Neck.out_channels = [256, 512, 1024]
+    cfg.Model.width_multiple = 1.0
+    cfg.Model.depth_multiple = 1.0
+    cfg.Dataset.nc = 80
+    cfg.Dataset.img_size = 640
+
+    spec = spec_from_cfg(cfg)
+    model = Model(spec=spec, dtype=jnp.bfloat16)
+    b, img = args.batch, 640
+    fresh = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, img, img, 3), jnp.bfloat16),
+                       train=False)
+
+    def saturate_obj(variables, delta=10.0):
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(variables["params"])
+        out = {}
+        for kk, v in flat.items():
+            if kk[-1] == "bias" and "head" in "/".join(kk).lower() and \
+                    v.ndim == 1 and v.size % 85 == 0:
+                vv = np.asarray(v).reshape(-1, 85).copy()
+                vv[:, 4] += delta
+                v = jnp.asarray(vv.reshape(-1))
+            out[kk] = v
+        return {"params": flax.traverse_util.unflatten_dict(out),
+                "batch_stats": variables["batch_stats"]}
+
+    images = jnp.asarray(rng.integers(0, 255, (b, img, img, 3), np.uint8))
+
+    for tag, variables in (("representative", fresh),
+                           ("pathological", saturate_obj(fresh))):
+        row = {"regime": tag}
+        for sel in ("pallas_elems", "pallas_rows", "exact"):
+            infer = make_infer_fn(model, nc=80, conf_thres=0.001,
+                                  iou_thres=0.6, max_det=300,
+                                  max_nms=30000, norm_scale=255.0,
+                                  selection=sel)
+            for _ in range(8):
+                det, _ = infer(variables, images)[:2]
+                float(jnp.asarray(det).sum())
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                det, _ = infer(variables, images)[:2]
+            float(jnp.asarray(det).sum())
+            dt = (time.perf_counter() - t0) / args.reps
+            row[f"{sel}_ms_per_img"] = round(dt / b * 1e3, 3)
+            row[f"{sel}_ms_per_batch"] = round(dt * 1e3, 1)
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

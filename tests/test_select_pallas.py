@@ -1,26 +1,39 @@
-"""Exact-selection kernel parity: ops/select_pallas.exact_topk_flat must
+"""Exact-selection kernel parity: ops/select_pallas engines must
 reproduce jax.lax.top_k row-for-row — scores everywhere, indices wherever a
 real candidate was selected, INCLUDING the lowest-index-first tie rule —
-because it replaces the lax.top_k candidate cap in eval NMS (reference
-utils/general.py:1024,1061 max_nms semantics). Runs the Pallas kernel in
+because they replace the lax.top_k candidate cap in eval NMS (reference
+utils/general.py:1024,1061 max_nms semantics). Runs the Pallas kernels in
 interpreter mode on CPU.
 
-N must exceed rows_cap*128 (= 32768 at default tiering) for the kernel
-path to engage; smaller lattices take the plain lax.top_k early exit."""
+Two engines share the contract and the suite:
+  rows  (exact_topk_rows)  — live-128-lane-row compaction, r4
+  elems (exact_topk_elems) — element compaction + value bisection, r5
+
+N must exceed the engines' small-lattice early exits for the kernel paths
+to engage; smaller lattices take the plain lax.top_k escape."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-from efficientteacher_tpu.ops.select_pallas import exact_topk_flat
+from efficientteacher_tpu.ops.select_pallas import (
+    exact_topk_elems, exact_topk_rows,
+)
 
-_N = 65536  # 512 rows of 128 — kernel path engages (r1 = 256 rows)
+_N = 65536  # 512 rows of 128 — row-kernel path engages (r1 = 256 rows)
+
+_ENGINES = {"rows": exact_topk_rows, "elems": exact_topk_elems}
 
 
-def _check(scores: np.ndarray, k: int):
+@pytest.fixture(params=sorted(_ENGINES))
+def engine(request):
+    return _ENGINES[request.param]
+
+
+def _check(engine, scores: np.ndarray, k: int):
     x = jnp.asarray(scores)
-    ts, ti = map(np.asarray, exact_topk_flat(x, k, interpret=True))
+    ts, ti = map(np.asarray, engine(x, k, interpret=True))
     rs, ri = map(np.asarray, jax.lax.top_k(x, k))
     np.testing.assert_array_equal(ts, rs)
     valid = rs > 0
@@ -46,43 +59,75 @@ def _clustered(rng, b, n, runs, run_len=80):
     return sc
 
 
-def test_sparse_tier1():
-    # few live rows: smallest row tier
+def test_sparse_tier1(engine):
+    # few live rows: smallest row tier / direct element compaction
     rng = np.random.default_rng(0)
-    _check(_clustered(rng, 3, _N, runs=12), 1000)
+    _check(engine, _clustered(rng, 3, _N, runs=12), 1000)
 
 
-def test_spread_tier2():
-    # uniformly spread candidates light > r1 rows -> 4x tier
+def test_spread_tier2(engine):
+    # uniformly spread candidates light > r1 rows -> 4x row tier
     rng = np.random.default_rng(1)
-    _check(_masked(rng, 2, _N, [5000, 20000]), 1000)
+    _check(engine, _masked(rng, 2, _N, [5000, 20000]), 1000)
 
 
-def test_dense_fallback():
-    # nearly every row live in a big lattice -> raw top_k fallback tier
+def test_dense_fallback(engine):
+    # nearly every row live in a big lattice -> raw top_k fallback for the
+    # row engine, bisection for the element engine
     rng = np.random.default_rng(2)
     n = 262144  # r=2048 rows > r2=1024
-    _check(_masked(rng, 1, n, [150000]), 500)
+    _check(engine, _masked(rng, 1, n, [150000]), 500)
 
 
-def test_exact_ties_at_boundary():
+def test_elems_bisect_tier():
+    """Candidate counts above the element buffer (k + slack) force the
+    value-bisection path; must stay exact, incl. a mixed batch where one
+    image fits the buffer and the other bisects."""
+    rng = np.random.default_rng(9)
+    n = 262144
+    # k=500 -> capb ~ 500+32768+1280: image 0 (200k cands) bisects,
+    # image 1 (2k) takes tau=0 directly
+    sc = _masked(rng, 2, n, [200000, 2000])
+    _check(exact_topk_elems, sc, 500)
+
+
+def test_elems_bisect_with_tie_blocks():
+    """Bisection tau landing inside/near large tie classes: >= keeps all
+    ties at tau, so the small top_k reproduces the index tie rule."""
+    rng = np.random.default_rng(10)
+    n = 262144
+    sc = _masked(rng, 1, n, [150000])
+    sc[0, 10000:60000] = 0.5  # 50k-wide tie class dominating the spectrum
+    _check(exact_topk_elems, sc, 500)
+
+
+def test_elems_degenerate_all_equal_falls_back():
+    """All candidates one value and more of them than the buffer: no tau
+    window exists — the engine must concede to raw top_k, still exact."""
+    n = 262144
+    sc = np.full((1, n), -1.0, np.float32)
+    sc[0, ::2] = 0.25  # 131072 identical scores > capb for k=500
+    _check(exact_topk_elems, sc, 500)
+
+
+def test_exact_ties_at_boundary(engine):
     # degenerate: one giant tie class straddling k — kept rows must be the
     # lowest-index ties, exactly lax.top_k's documented rule
     sc = np.full((2, _N), -1.0, np.float32)
     sc[0, ::2] = 0.5                      # 32768 identical scores
     sc[1, 100:3100] = 0.25                # 3000 identical scores
     sc[1, 5] = 0.9                        # plus one clear winner
-    _check(sc, 256)
+    _check(engine, sc, 256)
 
 
-def test_mixed_ties_and_distinct():
+def test_mixed_ties_and_distinct(engine):
     rng = np.random.default_rng(3)
     sc = _clustered(rng, 2, _N, runs=30)
     sc[0, 1000:1900] = 0.123              # tie block inside a live region
-    _check(sc, 256)
+    _check(engine, sc, 256)
 
 
-def test_counts_at_row_boundaries():
+def test_counts_at_row_boundaries(engine):
     # live-row counts straddling the r1=256 tier boundary
     rng = np.random.default_rng(4)
     for rows in (255, 256, 257, 300):
@@ -90,31 +135,32 @@ def test_counts_at_row_boundaries():
         rsel = rng.choice(_N // 128, rows, replace=False)
         for rr in rsel:
             sc[0, rr * 128 + 3] = np.float32(rng.uniform(0.1, 1.0))
-        _check(sc, 1000)
+        _check(engine, sc, 1000)
 
 
-def test_all_empty():
+def test_all_empty(engine):
     sc = np.full((2, _N), -1.0, np.float32)
     x = jnp.asarray(sc)
-    ts, _ = map(np.asarray, exact_topk_flat(x, 128, interpret=True))
+    ts, _ = map(np.asarray, engine(x, 128, interpret=True))
     assert (ts <= 0).all()
 
 
-def test_small_lattice_falls_back():
-    # r1*128 >= n: plain lax.top_k, still exact
+def test_small_lattice_falls_back(engine):
+    # small n: plain lax.top_k early exit, still exact
     rng = np.random.default_rng(5)
-    _check(_masked(rng, 2, 4096, [100, 1000]), 512)
+    _check(engine, _masked(rng, 2, 4096, [100, 1000]), 512)
 
 
-def test_unpadded_n():
+def test_unpadded_n(engine):
     # n not a multiple of 128: padding lanes must never be selected
     rng = np.random.default_rng(6)
-    _check(_clustered(rng, 2, 65519, runs=10), 500)
+    _check(engine, _clustered(rng, 2, 65519, runs=10), 500)
 
 
 def test_batched_nms_pallas_selection_parity():
-    """Whole-NMS parity: selection='pallas' returns the identical kept rows
-    as the exact path on realistic decoded predictions."""
+    """Whole-NMS parity: every pallas selection engine returns the
+    identical kept rows as the exact path on realistic decoded
+    predictions."""
     from efficientteacher_tpu.ops.nms import batched_nms
 
     rng = np.random.default_rng(7)
@@ -128,16 +174,17 @@ def test_batched_nms_pallas_selection_parity():
     kw = dict(nc=nc, conf_thres=0.05, iou_thres=0.6, multi_label=True,
               max_nms=2048, max_det=100, use_pallas=False)
     exact = batched_nms(x, selection="exact", **kw)
-    fast = batched_nms(x, selection="pallas", **kw)
-    np.testing.assert_array_equal(np.asarray(exact.valid),
-                                  np.asarray(fast.valid))
-    ev, fv = np.asarray(exact.detections), np.asarray(fast.detections)
-    np.testing.assert_allclose(ev[np.asarray(exact.valid)],
-                               fv[np.asarray(fast.valid)], atol=1e-6)
+    for sel in ("pallas", "pallas_rows", "pallas_elems"):
+        fast = batched_nms(x, selection=sel, **kw)
+        np.testing.assert_array_equal(np.asarray(exact.valid),
+                                      np.asarray(fast.valid))
+        ev, fv = np.asarray(exact.detections), np.asarray(fast.detections)
+        np.testing.assert_allclose(ev[np.asarray(exact.valid)],
+                                   fv[np.asarray(fast.valid)], atol=1e-6)
 
 
 @pytest.mark.slow
-def test_fuzz_parity():
+def test_fuzz_parity(engine):
     rng = np.random.default_rng(8)
     for trial in range(6):
         b = int(rng.integers(1, 3))
@@ -151,4 +198,4 @@ def test_fuzz_parity():
         if rng.random() < 0.5:  # inject a tie block
             lo = int(rng.integers(0, n - 800))
             sc[rng.integers(0, b), lo:lo + 800] = np.float32(rng.random())
-        _check(sc, k)
+        _check(engine, sc, k)
