@@ -38,6 +38,7 @@ import ctypes
 import itertools
 import multiprocessing
 import os
+import queue as _queue
 from typing import Callable, Dict, Iterator, List
 
 import numpy as np
@@ -133,7 +134,23 @@ def iter_batches_processes(
         pending: Dict[int, tuple] = {}  # seq -> (sid, meta) awaiting turn
         next_seq = 1
         while remaining > 0:
-            msg = done_q.get()
+            try:
+                # bounded wait + liveness check: a worker that dies HARD
+                # (signal, fork-inherited lock corruption) sends neither a
+                # result nor its exit sentinel — without this the parent
+                # blocks on the queue pipe forever (observed: forked
+                # children dying at startup under a heavily multithreaded
+                # JAX parent left pytest hung for an hour)
+                msg = done_q.get(timeout=30.0)
+            except _queue.Empty:
+                if not any(p.is_alive() for p in procs):
+                    raise RuntimeError(
+                        "loader worker processes died without reporting "
+                        f"({remaining} batches missing); exitcodes="
+                        f"{[p.exitcode for p in procs]} — fork-unsafe "
+                        "parent state? Use Dataset.loader='thread' in "
+                        "fork-hostile contexts")
+                continue
             if msg is None:
                 finished += 1
                 if finished >= workers and remaining > 0:

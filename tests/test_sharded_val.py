@@ -103,7 +103,12 @@ def test_sharded_validator_run_matches_single_device(val_data):
     def make_loader():
         ds = LoadImagesAndLabels(str(val_data / "val.txt"), img_size=128,
                                  nc=1, max_targets=8)
-        return BatchLoader(ds, 8, shuffle=False, drop_last=False)
+        # thread mode: matches production validation loaders
+        # (data/datasets.py picks 'thread' whenever augment=False) and
+        # avoids forking under the mesh-compile-heavy JAX parent, where
+        # forked children can die at startup (fork-with-threads hazard)
+        return BatchLoader(ds, 8, shuffle=False, drop_last=False,
+                           mode="thread")
 
     ref, ref_maps, _ = validator.run(
         model, variables, make_loader(), nc=1, compute_dtype=jnp.float32)
@@ -126,7 +131,8 @@ def test_sharded_val_fallback_on_indivisible_batch(val_data):
     def make_loader():
         ds = LoadImagesAndLabels(str(val_data / "val.txt"), img_size=128,
                                  nc=1, max_targets=8)
-        return BatchLoader(ds, 6, shuffle=False, drop_last=False)
+        return BatchLoader(ds, 6, shuffle=False, drop_last=False,
+                           mode="thread")  # see note above
 
     ref, _, _ = validator.run(
         model, variables, make_loader(), nc=1, compute_dtype=jnp.float32)
