@@ -310,9 +310,12 @@ def batched_nms(
 
     `selection` picks the multi-label max_nms candidate-selection engine
     (reference general.py:1024,1061 top-k cap semantics):
-      "pallas" — EXACT selection via the threshold-compaction kernel
-                 (ops/select_pallas.py); same rows, same tie order as
-                 lax.top_k at ~1/10 the cost on TPU
+      "pallas" — EXACT selection via the threshold-compaction kernels
+                 (ops/select_pallas.py): bit-identical scores and tie-class
+                 membership vs lax.top_k at a fraction of the cost on TPU
+                 (tie ORDER among bit-equal scores is backend-defined —
+                 XLA:TPU's own top_k is not index-stable; see the
+                 select_pallas module docstring)
       "exact"  — jax.lax.top_k (the measured TPU serving floor)
       "approx" — lax.approx_max_k, recall 0.95 over the sub-threshold
                  tail (legacy serving knob; approx_topk=True maps here)
@@ -338,13 +341,13 @@ def batched_nms(
         if selection in ("pallas", "pallas_rows", "pallas_elems"):
             from .select_pallas import exact_topk_elems, exact_topk_rows
 
-            # "pallas" = the best engine for the shape: the element-
-            # granularity compaction's cost depends only on candidate
-            # count (bisection keeps it bounded at ANY density), the row
-            # engine must fall back to raw top_k past its row cap.
+            # "pallas" = the hybrid: row-granularity tiers for sparse
+            # fields (2.0 ms/img representative eval serving), element-
+            # granularity bisection as the dense tail (5.1 ms/img
+            # pathological) — r5 on-chip A/B, scripts/ab_selection.py.
             # Explicit names pin an engine for tests/experiments.
-            engine = (exact_topk_rows if selection == "pallas_rows"
-                      else exact_topk_elems)
+            engine = (exact_topk_elems if selection == "pallas_elems"
+                      else exact_topk_rows)
             top_scores, top_idx = engine(
                 flat, k_eff, interpret=jax.default_backend() != "tpu")
         elif selection == "approx" and k_eff < flat.shape[1]:

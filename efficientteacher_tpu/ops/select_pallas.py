@@ -40,9 +40,26 @@ density (sparse candidate field, tier r1) selection costs ~17.5 ms/batch
 (row-gather 16.6 + compaction 0.16 + the small top_k 0.76) where XLA's
 exact TopK costs ~129 ms; the full eval program (bf16 forward + decode +
 NMS) runs 67 ms/batch = 2.1 ms/img. At pathological density (saturated
-objectness, every row live) the raw-top_k fallback tier re-pays the XLA
-floor by construction: 194 ms/batch = 6.1 ms/img. Identical outputs to
-lax.top_k in every tier.
+objectness, every row live) the dense tail is handled by the r5
+ELEMENT-granularity engine (`exact_topk_elems` below): a per-image value
+bisection bounds the compaction buffer so cost tracks the candidate
+count, not the row spread — 162 ms/batch = 5.1 ms/img where the r4
+raw-top_k fallback re-paid the 194 ms XLA floor (r5 on-chip A/B,
+scripts/ab_selection.py; both regimes recorded each round by bench.py).
+
+Exactness contract (both engines): the returned SCORES are bit-identical
+to lax.top_k, every returned index is a distinct genuine candidate
+carrying exactly that score, and every tie class strictly above the k-th
+score has identical membership. Tie ORDER among bit-equal scores is
+backend-defined: on CPU it is lax.top_k's lowest-index-first rule
+(pinned by the interpreter-mode suite); on TPU, XLA's OWN top_k is not
+index-stable — measured r5 on hardware: it returned the higher index of
+a bit-equal random-collision pair first — so no engine (including
+lax.top_k itself) defines a stable cross-backend tie order. The
+reference has the same instability (CUDA torch.sort is unstable).
+A stable buffer sort would pin ascending-index ties for +10 ms/batch
+(measured jnp.argsort(stable=True) 13.0 vs top_k 2.9 at (32, 63488));
+not taken. scripts/ab_selection.py carries the tie-aware hardware fuzz.
 """
 
 from __future__ import annotations
@@ -235,32 +252,12 @@ def _count_ge(scores, taus):
         (scores[:, :, None] >= taus[:, None, :]).astype(jnp.int32), axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def exact_topk_elems(scores, k: int, interpret: bool = False):
-    """Exact `lax.top_k(scores, k)` over (B, N) masked score rows
-    (non-candidates = -1, candidates strictly > 0), including the
-    lowest-index-first tie rule — ELEMENT-granularity engine.
-
-    Where `exact_topk_rows` selects live 128-lane ROWS (and must fall
-    back to raw top_k when more than its row cap light up), this engine
-    compacts surviving ELEMENTS, so its cost depends only on the
-    candidate count, never on how they spread across rows:
-
-      1. one bandwidth pass counts candidates per image;
-      2. if every image fits the k + _SLACK buffer, the compaction
-         kernel packs ALL candidates [score, idx] in ascending index
-         order (tau = 0 keeps exactly the strictly-positive scores);
-      3. else a per-image VALUE bisection finds tau with
-         count(s >= tau) in [k, cap] — _T_BISECT thresholds per
-         bandwidth pass, <= _P_BISECT passes — and compacts s >= tau
-         (>= keeps all ties at tau, so the small top_k reproduces the
-         index tie rule); degenerate spectra (> cap candidates inside
-         one ulp) concede to raw lax.top_k, keeping every path exact;
-      4. a small lax.top_k orders the buffer; buffer order = ascending
-         flat index, so tie semantics match exact TopK bit-for-bit.
-
-    Indices where the returned score is <= 0 are 0 (same contract as
-    exact_topk_rows: callers gate on score > 0)."""
+def _elems_impl(scores, k: int, interpret: bool):
+    """Traceable body of `exact_topk_elems` — also the dense-tail
+    fallback tier inside `exact_topk_rows` (the hybrid "pallas" engine),
+    where it replaces raw lax.top_k: measured r5 A/B
+    (scripts/ab_selection.py), bisection costs 162 ms/batch where the
+    raw fallback re-pays XLA's 193 ms exact-TopK floor."""
     b, n = scores.shape
     capb = pl.cdiv(k + _SLACK + 2 * _W, 128) * 128
     if n <= capb + 4096:  # compaction can't beat sorting the lattice
@@ -339,10 +336,44 @@ def exact_topk_elems(scores, k: int, interpret: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def exact_topk_elems(scores, k: int, interpret: bool = False):
+    """Exact `lax.top_k(scores, k)` over (B, N) masked score rows
+    (non-candidates = -1, candidates strictly > 0) — ELEMENT-granularity
+    engine. Tie order among bit-equal scores is backend-defined (module
+    docstring: exact score multiset + tie-class membership everywhere;
+    lowest-index-first on CPU).
+
+    Where `exact_topk_rows` selects live 128-lane ROWS (and would
+    otherwise fall back to raw top_k when more than its row cap light
+    up), this engine compacts surviving ELEMENTS, so its cost depends
+    only on the candidate count, never on how they spread across rows:
+
+      1. one bandwidth pass counts candidates per image;
+      2. if every image fits the k + _SLACK buffer, the compaction
+         kernel packs ALL candidates [score, idx] in ascending index
+         order (tau = 0 keeps exactly the strictly-positive scores);
+      3. else a per-image VALUE bisection finds tau with
+         count(s >= tau) in [k, cap] — _T_BISECT thresholds per
+         bandwidth pass, <= _P_BISECT passes — and compacts s >= tau
+         (>= keeps all ties at tau, so every tie class above the k-th
+         score keeps full membership); degenerate spectra (> cap
+         candidates inside one ulp) concede to raw lax.top_k, keeping
+         every path exact;
+      4. a small lax.top_k orders the buffer; buffer order = ascending
+         flat index, so the small top_k sees candidates in index
+         order (ties then resolve by the backend top_k's rule).
+
+    Indices where the returned score is <= 0 are 0 (same contract as
+    exact_topk_rows: callers gate on score > 0)."""
+    return _elems_impl(scores, k, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def exact_topk_rows(scores, k: int, interpret: bool = False):
     """Exact `lax.top_k(scores, k)` over (B, N) masked score rows
-    (non-candidates = -1, candidates strictly > 0), including the
-    lowest-index-first tie rule. Returns (top_scores, top_idx) (B, k).
+    (non-candidates = -1, candidates strictly > 0). Returns
+    (top_scores, top_idx) (B, k). Tie order among bit-equal scores is
+    backend-defined (module docstring; lowest-index-first on CPU).
     ROW-granularity engine (r4); see exact_topk_elems for the r5
     element-granularity engine whose cost is density-independent.
 
@@ -353,12 +384,18 @@ def exact_topk_rows(scores, k: int, interpret: bool = False):
     problem, ~1 ms), an XLA row-gather assembles the live rows into a
     dense (rows_cap * 128) buffer, and a small lax.top_k orders it.
     Buffer order = (ascending row, ascending lane) = ascending flat
-    index, so tie semantics match exact TopK bit-for-bit.
+    index, so the small top_k sees candidates in flat-index order
+    (ties then resolve by the backend top_k's rule).
 
     Tiered: a compact rows_cap when the densest image fits it (the
-    common case at eval thresholds), 4x when crowded, raw lax.top_k for
-    the pathological tail (an untrained model at eval thresholds).
-    Every tier returns bit-identical results to lax.top_k.
+    common case at eval thresholds), 4x when crowded, and the element
+    engine's value bisection (`_elems_impl`) for the pathological tail
+    (an untrained model at eval thresholds) — measured r5 A/B
+    (scripts/ab_selection.py, b32@640 eval program): representative
+    regime 64.6 ms/batch (vs 189.7 raw exact TopK), pathological 162
+    ms/batch via the bisection tier (vs 193 when the tail fell back to
+    raw top_k). Every tier returns the exact top-k score multiset of
+    lax.top_k.
 
     `interpret=True` runs the compaction kernel in the Pallas
     interpreter (CPU test path)."""
@@ -402,7 +439,11 @@ def exact_topk_rows(scores, k: int, interpret: bool = False):
         return f
 
     def fallback():
-        return tuple(jax.lax.top_k(scores, k))
+        # dense tail: element-granularity bisection (162 vs 193 ms/batch
+        # raw top_k at pathological density, r5 A/B); _elems_impl itself
+        # concedes to raw top_k on degenerate spectra, so every path
+        # stays exact
+        return _elems_impl(scores, k, interpret)
 
     if r2 > r1:
         crowded = lambda: jax.lax.cond(nmax <= r2, tier(r2), fallback)
@@ -412,7 +453,7 @@ def exact_topk_rows(scores, k: int, interpret: bool = False):
 
 
 # Default engine behind ops/nms.batched_nms(selection="pallas") and the
-# historical import name: element granularity — cost tracks the candidate
-# count at any density (the row engine re-pays the raw-top_k floor when
-# more rows light than its cap).
-exact_topk_flat = exact_topk_elems
+# historical import name: the hybrid — row granularity for the sparse
+# tiers (2.0 ms/img representative eval serving, r5 A/B), element-
+# granularity bisection for the dense tail (5.1 ms/img pathological).
+exact_topk_flat = exact_topk_rows

@@ -43,7 +43,33 @@ def main():
 
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
 
-    # --- hardware exactness fuzz: elems == lax.top_k on the real chip ---
+    # --- hardware exactness fuzz: engines vs lax.top_k on the real chip.
+    # Scores must be bit-identical. Index comparison is TIE-AWARE: XLA:TPU's
+    # own lax.top_k is NOT index-stable on ties (measured r5: it returned
+    # the HIGHER index of a bit-equal score pair first), so among bit-equal
+    # scores only SET membership is comparable — per non-boundary tie class
+    # the index sets must match; the boundary class (the k-th score) may
+    # legitimately differ in membership; every returned index must be a
+    # genuine candidate with exactly the returned score, all distinct.
+    def tie_aware_check(sc, ts, ti, rs, ri, what):
+        np.testing.assert_array_equal(ts, rs, err_msg=f"{what}: scores")
+        for b in range(sc.shape[0]):
+            v = rs[b] > 0
+            ours, ref = ti[b][v], ri[b][v]
+            rsc = rs[b][v]
+            assert len(set(ours.tolist())) == len(ours), f"{what}: dup idx"
+            np.testing.assert_array_equal(
+                sc[b][ours], rsc, err_msg=f"{what}: idx->score")
+            if len(rsc) == 0:
+                continue
+            boundary = rsc.min()
+            for val in np.unique(rsc):
+                if val == boundary:
+                    continue
+                m = rsc == val
+                assert set(ours[m].tolist()) == set(ref[m].tolist()), (
+                    f"{what}: tie class {val} membership")
+
     rng = np.random.default_rng(0)
     for trial in range(6):
         n = int(rng.choice([262144, 2016000]))
@@ -57,14 +83,11 @@ def main():
             sc[0, lo:lo + 50000] = np.float32(rng.random())
         k = int(rng.choice([300, 30000]))
         x = jnp.asarray(sc)
+        rs, ri = map(np.asarray, jax.lax.top_k(x, k))
         for name, eng in (("elems", exact_topk_elems),
                           ("rows", exact_topk_rows)):
             ts, ti = map(np.asarray, eng(x, k))
-            rs, ri = map(np.asarray, jax.lax.top_k(x, k))
-            np.testing.assert_array_equal(ts, rs, err_msg=f"{name} t{trial}")
-            v = rs > 0
-            np.testing.assert_array_equal(ti[v], ri[v],
-                                          err_msg=f"{name} t{trial}")
+            tie_aware_check(sc, ts, ti, rs, ri, f"{name} t{trial}")
         print(f"hw exactness trial {trial}: ok (n={n}, npos={npos}, k={k})",
               file=sys.stderr)
     print(json.dumps({"hw_exactness": "ok", "trials": 6}), flush=True)
