@@ -10,7 +10,11 @@ and `warmup()` pre-compiles. Formats:
   .deploy.ckpt  RepVGG-fused deploy checkpoint
   .pt           reference torch checkpoint, imported on the fly
   saved_model/  TF SavedModel (from export.py)
-  .tflite       TFLite flatbuffer (TF interpreter)
+  .pb           frozen TF GraphDef (reference wrap_frozen_graph path,
+                utils/detect_multi_backend.py:100-107)
+  .tflite       TFLite flatbuffer (TF interpreter); u8-quantized int8
+                models de-scale input / re-scale output exactly as the
+                reference (utils/detect_multi_backend.py:296-310)
   .torchscript  reference-exported TorchScript module (torch CPU)
   .onnx         reference-exported ONNX graph via cv2.dnn (no onnx pkg
                 needed); TensorRT/CoreML/OpenVINO engines need their own
@@ -75,6 +79,22 @@ class DetectBackend:
 
             self._tf_mod = tf.saved_model.load(self.weights)
             self._tf_fn = self._tf_mod.f
+        elif self.kind == "pb":
+            import tensorflow as tf
+
+            gd = tf.compat.v1.GraphDef()
+            gd.ParseFromString(Path(self.weights).read_bytes())
+            wrapped = tf.compat.v1.wrap_function(
+                lambda: tf.compat.v1.import_graph_def(gd, name=""), [])
+            # input = the graph's placeholder; output = its last tensor
+            # (the frozen concrete function's single Identity result).
+            ops = wrapped.graph.get_operations()
+            inp = next(o for o in ops if o.type == "Placeholder")
+            idents = [o for o in ops if o.type == "Identity"]
+            out_op = idents[-1] if idents else ops[-1]
+            pruned = wrapped.prune(inp.outputs[0], out_op.outputs[0])
+            # pruned concrete functions bind TF tensors, not ndarrays
+            self._tf_fn = lambda x: pruned(tf.constant(x))
         elif self.kind == "tflite":
             import tensorflow as tf
 
@@ -104,6 +124,8 @@ class DetectBackend:
             return "ckpt"
         if name.endswith(".pt"):
             return "pt"
+        if name.endswith(".pb"):
+            return "pb"
         if name.endswith(".tflite"):
             return "tflite"
         if name.endswith(".torchscript"):
@@ -120,14 +142,22 @@ class DetectBackend:
             return np.asarray(self._jit(self._variables, jnp.asarray(images)))
         if self._tf_fn is not None:
             x = images.astype(np.float32) / self.norm_scale
-            return np.asarray(self._tf_fn(x))
+            y = np.asarray(self._tf_fn(x))
+            return self._rescale_tf(y, images)
         if self._tflite is not None:
             inp = self._tflite.get_input_details()[0]
             out = self._tflite.get_output_details()[0]
             x = images.astype(np.float32) / self.norm_scale
+            if inp["dtype"] == np.uint8:  # full-integer-quantized model
+                scale, zero_point = inp["quantization"]
+                x = (x / scale + zero_point).astype(np.uint8)
             self._tflite.set_tensor(inp["index"], x)
             self._tflite.invoke()
-            return self._tflite.get_tensor(out["index"])
+            y = self._tflite.get_tensor(out["index"])
+            if out["dtype"] == np.uint8:
+                scale, zero_point = out["quantization"]
+                y = (y.astype(np.float32) - zero_point) * scale
+            return self._rescale_tf(y, images)
         if getattr(self, "_ts", None) is not None:
             import torch
 
@@ -146,6 +176,16 @@ class DetectBackend:
             self._dnn.setInput(x)
             return np.asarray(self._dnn.forward())
         raise RuntimeError("no backend initialized")
+
+    @staticmethod
+    def _rescale_tf(y: np.ndarray, images: np.ndarray) -> np.ndarray:
+        """TF-family exports (saved_model/pb/tflite) carry normalized
+        xywh; re-scale to input pixels exactly as the reference
+        (utils/detect_multi_backend.py:312)."""
+        h, w = images.shape[1:3]
+        y = np.array(y)
+        y[..., :4] *= [w, h, w, h]
+        return y
 
     def warmup(self, shape=(1, 640, 640, 3)):
         self(np.zeros(shape, np.uint8))

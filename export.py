@@ -7,15 +7,19 @@ Formats:
   torch        reference-style flat state_dict .npz (the mula-convertor
                efficient->yolov5 direction; loadable from torch without jax)
   saved_model  TF SavedModel via jax2tf (CPU/TPU serving)
-  tflite       TFLite flatbuffer via the TF converter
+  pb           frozen TF GraphDef (reference deploy/model_convert.py:274-291)
+  tflite       TFLite flatbuffer via the TF converter; --int8 adds
+               full-integer quantization with a representative dataset
+               (reference deploy/model_convert.py:294-316)
   onnx         direct ONNX emission from the traced jaxpr (reference
                export.py:78-94 export_onnx, deploy/model_convert.py:75-130)
                — no onnx/tf2onnx dependency; RepVGG-fused, decode baked in,
                verified against cv2.dnn in tests/test_onnx_export.py
 
 TensorRT/CoreML exporters from the reference matrix depend on GPU/macOS
-toolchains with no TPU analogue; TensorRT consumes the onnx output and
-SavedModel covers the remaining TF-family targets (pb/tfjs/edgetpu).
+toolchains with no TPU analogue; TensorRT consumes the onnx output.
+edgetpu would be the int8 tflite blob through Google's edgetpu_compiler
+(not installable here); tfjs needs the tensorflowjs package (absent).
 
 Usage:
     python export.py --cfg <yaml> --weights best.ckpt --include params deploy
@@ -34,9 +38,16 @@ def parse_opt():
     p.add_argument("--weights", required=True)
     p.add_argument("--include", nargs="+", default=["params"],
                    choices=["params", "deploy", "torch", "saved_model",
-                            "tflite", "onnx"])
+                            "pb", "tflite", "onnx"])
     p.add_argument("--opset", type=int, default=13,
                    help="ONNX opset (reference export.py default 13)")
+    p.add_argument("--int8", action="store_true",
+                   help="full-integer TFLite quantization with a "
+                        "representative dataset (reference export.py "
+                        "--int8, deploy/model_convert.py:307-316)")
+    p.add_argument("--data-dir", default=None,
+                   help="directory of images for the int8 representative "
+                        "dataset (synthetic frames when omitted)")
     p.add_argument("--img-size", type=int, default=640)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--out", default=None, help="output stem")
@@ -130,7 +141,8 @@ def main(opt):
         LOGGER.info("onnx (opset %d, direct jaxpr emission) -> %s",
                     opt.opset, out)
 
-    if "saved_model" in opt.include or "tflite" in opt.include:
+    if ("saved_model" in opt.include or "pb" in opt.include
+            or "tflite" in opt.include):
         import tensorflow as tf
         from jax.experimental import jax2tf
 
@@ -138,31 +150,98 @@ def main(opt):
 
         def fwd(x):
             decoded, _ = model.apply(fused_vars, x, train=False)
-            return decoded
+            # TF-family exports carry NORMALIZED xywh (the reference's TF
+            # models do the same; utils/detect_multi_backend.py:312
+            # re-scales to pixels in the backend) so u8 full-integer
+            # quantization shares one sane scale across the output tensor
+            # instead of mixing 0-640 coords with 0-1 probabilities.
+            inv = jnp.ones((decoded.shape[-1],), decoded.dtype)
+            inv = inv.at[:4].set(1.0 / opt.img_size)
+            return decoded * inv
 
         shape = (opt.batch, opt.img_size, opt.img_size, 3)
-        tf_fn = tf.function(
-            jax2tf.convert(fwd, with_gradient=False),
-            input_signature=[tf.TensorSpec(shape, tf.float32)],
-            autograph=False,
-        )
-        module = tf.Module()
-        module.f = tf_fn
-        sm_dir = str(stem) + "_saved_model"
-        tf.saved_model.save(module, sm_dir)
-        LOGGER.info("saved_model -> %s", sm_dir)
-        if "tflite" in opt.include:
-            conv = tf.lite.TFLiteConverter.from_concrete_functions(
-                [tf_fn.get_concrete_function()], module
+        if "saved_model" in opt.include or "pb" in opt.include:
+            # jax2tf native serialization (single XlaCallModule op): exact
+            # and ideal for TF-runtime serving; JAX >= 0.9 removed the
+            # graph-mode lowering entirely, so the TFLite leg below goes
+            # through the converter's own HLO importer instead.
+            tf_fn = tf.function(
+                jax2tf.convert(fwd, with_gradient=False),
+                input_signature=[tf.TensorSpec(shape, tf.float32)],
+                autograph=False,
             )
-            conv.target_spec.supported_ops = [
-                tf.lite.OpsSet.TFLITE_BUILTINS,
-                tf.lite.OpsSet.SELECT_TF_OPS,
-            ]
+            module = tf.Module()
+            module.f = tf_fn
+        if "saved_model" in opt.include:
+            sm_dir = str(stem) + "_saved_model"
+            tf.saved_model.save(module, sm_dir)
+            LOGGER.info("saved_model -> %s", sm_dir)
+        if "pb" in opt.include:
+            # Frozen GraphDef (reference deploy/model_convert.py:274-291
+            # export_pb): constants folded in, loadable with nothing but
+            # a TF runtime via import_graph_def.
+            from tensorflow.python.framework.convert_to_constants import (
+                convert_variables_to_constants_v2,
+            )
+
+            frozen = convert_variables_to_constants_v2(
+                tf_fn.get_concrete_function())
+            out = stem.with_suffix(".pb")
+            tf.io.write_graph(frozen.graph.as_graph_def(),
+                              str(out.parent), out.name, as_text=False)
+            LOGGER.info("pb (frozen GraphDef) -> %s", out)
+        if "tflite" in opt.include:
+            # experimental_from_jax lowers the jaxpr's HLO to REAL TFLite
+            # builtins (CONV_2D/MUL/...), not a flex-wrapped XlaCallModule
+            # — required for genuine int8 quantization and for tflite
+            # runtimes without the flex delegate. fp32 exactness + int8
+            # full-integer-ness asserted by tests/test_tf_export_backends.py.
+            example = np.zeros(shape, np.float32)
+            conv = tf.lite.TFLiteConverter.experimental_from_jax(
+                [fwd], [[("images", example)]])
+            if opt.int8:
+                # Full-integer quantization (reference
+                # deploy/model_convert.py:307-316): representative frames
+                # calibrate activation ranges; u8 I/O so DetectBackend's
+                # de-scale/re-scale branch (reference
+                # utils/detect_multi_backend.py:296-310) applies.
+                def rep_data():
+                    rng = np.random.default_rng(0)
+                    files = []
+                    if opt.data_dir:
+                        import glob
+
+                        files = sorted(
+                            glob.glob(str(Path(opt.data_dir) / "*")))[:100]
+                    for i in range(max(len(files), 32)):
+                        if files:
+                            import cv2
+
+                            im = cv2.imread(files[i % len(files)])[..., ::-1]
+                            im = cv2.resize(
+                                im, (opt.img_size, opt.img_size))
+                            x = im[None].astype(np.float32) / 255.0
+                            x = np.repeat(x, opt.batch, axis=0)
+                        else:
+                            x = rng.random(shape, dtype=np.float32)
+                        yield [x]
+
+                conv.optimizations = [tf.lite.Optimize.DEFAULT]
+                conv.representative_dataset = rep_data
+                # BUILTINS_INT8 only: the converter then FAILS rather than
+                # silently leaving float islands, so a successful export
+                # is proof of full integer quantization.
+                conv.target_spec.supported_ops = [
+                    tf.lite.OpsSet.TFLITE_BUILTINS_INT8,
+                ]
+                conv.inference_input_type = tf.uint8
+                conv.inference_output_type = tf.uint8
             blob = conv.convert()
-            out = stem.with_suffix(".tflite")
+            out = (Path(str(stem) + "-int8.tflite") if opt.int8
+                   else stem.with_suffix(".tflite"))
             out.write_bytes(blob)
-            LOGGER.info("tflite -> %s", out)
+            LOGGER.info("tflite%s -> %s",
+                        " (int8)" if opt.int8 else "", out)
 
 
 if __name__ == "__main__":
