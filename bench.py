@@ -16,6 +16,7 @@ The same JSON line carries an `aux` object with the host-pipeline numbers:
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -238,6 +239,34 @@ def main():
     cfg.Dataset.nc = 80
     cfg.Dataset.img_size = 640
 
+    # Rig-health probe BEFORE anything heavy: the axon tunnel sometimes
+    # enters a ~20x-degraded state (observed r5: every device number in a
+    # bench run collapsed together — 249 -> 13 img/s train — then the rig
+    # recovered minutes later). A chained bf16 4k matmul is ~4 ms healthy;
+    # if it reads slow, wait out the degradation once and re-probe so a
+    # poisoned record is retried, and stamp the result either way.
+    def _probe_matmul_ms():
+        xp = jnp.ones((4096, 4096), jnp.bfloat16)
+        f = jax.jit(lambda a: a @ a)
+        for _ in range(3):
+            float(f(xp).sum())
+        t0 = time.perf_counter()
+        y = xp
+        for _ in range(10):
+            y = f(y)
+        float(y.sum())
+        return (time.perf_counter() - t0) / 10 * 1e3
+
+    probe_ms = _probe_matmul_ms()
+    probe_note = None
+    if probe_ms > 15.0:
+        print(f"rig probe degraded ({probe_ms:.1f} ms 4k matmul); "
+              "waiting 180s for the tunnel to recover", file=sys.stderr)
+        time.sleep(180)
+        retry = _probe_matmul_ms()
+        probe_note = f"degraded {probe_ms:.1f} ms at start; {retry:.1f} after 180s wait"
+        probe_ms = retry
+
     spec = spec_from_cfg(cfg)
     model = Model(spec=spec, dtype=jnp.bfloat16)
     b, img, m = 32, 640, 60
@@ -292,6 +321,10 @@ def main():
         # for every aux number below (VERDICT r3 weak #3) — read them
         # against this stamp and the per-section stamps/repeats.
         "loadavg_start": _loadavg(),
+        # rig-health stamp: chained bf16 4k matmul, ~4 ms healthy; a
+        # 20x-degraded tunnel makes every device number below garbage
+        "probe_matmul_ms": round(probe_ms, 2),
+        **({"probe_note": probe_note} if probe_note else {}),
         # honesty note (VERDICT r2 weak #6): the 53 img/s V100 figure is
         # DERIVED (3x the published 6.2 ms/img inference cost), not a
         # measured training number — vs_baseline inherits that assumption.
@@ -420,46 +453,30 @@ def main():
         # candidate selection on TPU is the exact Pallas row-gather path
         # (ops/select_pallas.py) — bit-identical to lax.top_k.
         #
-        # TWO weight regimes (VERDICT r4 #1b — the r4 bench only timed the
-        # noise-trained state, whose saturated objectness lights ~every
-        # lattice row and forces the selection kernel's raw-top_k fallback
-        # tier; that number is a worst case, not serving):
+        # TWO weight regimes (VERDICT r4 #1b; definitions shared with
+        # scripts/ab_selection.py + profile_eval.py via utils/eval_regimes
+        # so the tools can never drift):
         #   representative: FRESH smart-bias init (heads put obj at the
         #     focal prior log(8/grid^2), the sparse candidate field a
         #     converged detector shows at the 0.001 eval gate)
-        #   pathological:   the noise-trained state above (labeled suffix)
+        #   pathological:   saturate_obj(fresh) — every head obj bias
+        #     +10, lighting ~every lattice pair (deterministic; the r4
+        #     bench leaned on the noise-trained state being saturated,
+        #     which the r5 run showed is not reproducible)
         # Density stats (candidates/img, max live 128-lane rows) are
         # recorded for BOTH so the regime behind each number is explicit.
         from efficientteacher_tpu.eval.validator import make_infer_fn
+        from efficientteacher_tpu.utils.eval_regimes import (
+            make_density_fn, saturate_obj)
 
         fresh = model.init(jax.random.PRNGKey(0), x0, train=False)
+        fresh = {"params": fresh["params"],
+                 "batch_stats": fresh["batch_stats"]}
         regimes = {
-            "": {"params": fresh["params"],
-                 "batch_stats": fresh["batch_stats"]},
-            "_pathological": {"params": state.params,
-                              "batch_stats": state.batch_stats},
+            "": fresh,
+            "_pathological": saturate_obj(fresh),
         }
-
-        @jax.jit
-        def _density(variables, images_u8):
-            """Mean (anchor,class) candidates/img + max live 128-lane rows
-            of the flat lattice — mirrors ops/nms._pair_scores gating and
-            ops/select_pallas row granularity."""
-            x = images_u8.astype(jnp.bfloat16) / 255.0
-            decoded = model.apply(variables, x, train=False)[0]
-            decoded = decoded.astype(jnp.float32)
-            obj = decoded[..., 4]
-            clsp = decoded[..., 5:]
-            gate = (obj > 0.001) & (jnp.max(clsp, -1) > 0.001)
-            keep = gate[..., None] & (clsp * obj[..., None] > 0.001)
-            bsz = keep.shape[0]
-            flat = keep.reshape(bsz, -1)
-            n = flat.shape[1]
-            pad = (-n) % 128
-            flat = jnp.pad(flat, ((0, 0), (0, pad)))
-            rows = jnp.any(flat.reshape(bsz, -1, 128), -1)
-            return (jnp.sum(keep) / bsz,
-                    jnp.max(jnp.sum(rows, -1)))
+        _density = make_density_fn(model, nc=80, conf_thres=0.001)
 
         def _time_infer(variables, infer, reps=15):
             for _ in range(8):  # compile + tunnel warm

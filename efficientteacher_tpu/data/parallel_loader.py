@@ -61,6 +61,7 @@ def iter_batches_processes(
     workers: int,
     reseed: Callable[[int], None],
     n_slots: int = 0,
+    poll_timeout: float = 30.0,
 ) -> Iterator[Dict]:
     """Yield build_batch(bidx) for every bidx in `batches`, built by forked
     worker processes through a shared-memory slot ring."""
@@ -141,15 +142,25 @@ def iter_batches_processes(
                 # blocks on the queue pipe forever (observed: forked
                 # children dying at startup under a heavily multithreaded
                 # JAX parent left pytest hung for an hour)
-                msg = done_q.get(timeout=30.0)
+                msg = done_q.get(timeout=poll_timeout)
             except _queue.Empty:
-                if not any(p.is_alive() for p in procs):
+                # A worker that exits CLEANLY always posts its None exit
+                # sentinel (or an ("error", tb) message) first — so any
+                # dead process beyond the sentinels received died hard,
+                # and its in-flight batch is lost. This must also catch
+                # PARTIAL death: survivors keep producing, but the
+                # in-order cursor waits on the lost seq forever while the
+                # dead worker's leaked slot starves the ring, deadlocking
+                # the survivors on free_q (they stay alive, so an
+                # all-dead check never fires).
+                dead = sum(1 for p in procs if not p.is_alive())
+                if dead > finished:
                     raise RuntimeError(
-                        "loader worker processes died without reporting "
-                        f"({remaining} batches missing); exitcodes="
-                        f"{[p.exitcode for p in procs]} — fork-unsafe "
-                        "parent state? Use Dataset.loader='thread' in "
-                        "fork-hostile contexts")
+                        f"{dead - finished} loader worker process(es) "
+                        "died without reporting (hard kill / fork-unsafe "
+                        f"crash); {remaining} batches missing, exitcodes="
+                        f"{[p.exitcode for p in procs]} — use "
+                        "Dataset.loader='thread' in fork-hostile contexts")
                 continue
             if msg is None:
                 finished += 1

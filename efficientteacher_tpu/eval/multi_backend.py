@@ -181,9 +181,26 @@ class DetectBackend:
     def _rescale_tf(y: np.ndarray, images: np.ndarray) -> np.ndarray:
         """TF-family exports (saved_model/pb/tflite) carry normalized
         xywh; re-scale to input pixels exactly as the reference
-        (utils/detect_multi_backend.py:312)."""
+        (utils/detect_multi_backend.py:312).
+
+        Guard: artifacts exported before the normalized-output contract
+        (export.py pre-r5) already emit pixel coords — re-scaling those
+        would silently double-scale. Normalized xywh stays ~O(1) for a
+        trained model (worst random-init case: wh <= 4*max_anchor/img,
+        ~20 at a 64px test input) while pixel coords reach the image
+        size, so a max box coord above half the input size means the
+        blob is already pixel-scale; pass it through with a warning."""
         h, w = images.shape[1:3]
         y = np.array(y)
+        if np.abs(y[..., :4]).max() > 0.5 * max(h, w):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "TF-family model output looks pixel-scaled already "
+                "(max box coord %.1f); skipping the normalized-xywh "
+                "re-scale — re-export with the current export.py",
+                float(np.abs(y[..., :4]).max()))
+            return y
         y[..., :4] *= [w, h, w, h]
         return y
 

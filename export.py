@@ -209,10 +209,24 @@ def main(opt):
                     rng = np.random.default_rng(0)
                     files = []
                     if opt.data_dir:
-                        import glob
+                        import cv2
 
-                        files = sorted(
-                            glob.glob(str(Path(opt.data_dir) / "*")))[:100]
+                        exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+                        # decode-filter up front: directories, label .txt
+                        # and cache files in a dataset dir must not abort
+                        # the conversion mid-stream
+                        for p in sorted(Path(opt.data_dir).iterdir()):
+                            if p.suffix.lower() not in exts:
+                                continue
+                            if cv2.imread(str(p)) is not None:
+                                files.append(str(p))
+                            if len(files) >= 100:
+                                break
+                        if not files:
+                            LOGGER.warning(
+                                "--data-dir %s has no decodable images; "
+                                "falling back to synthetic calibration "
+                                "frames", opt.data_dir)
                     for i in range(max(len(files), 32)):
                         if files:
                             import cv2

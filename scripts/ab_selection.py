@@ -33,8 +33,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
-    from efficientteacher_tpu.configs import get_cfg
     from efficientteacher_tpu.eval.validator import make_infer_fn
+    from efficientteacher_tpu.utils.eval_regimes import (
+        saturate_obj, yolov5l_eval_cfg)
     from efficientteacher_tpu.models import Model
     from efficientteacher_tpu.models.spec import spec_from_cfg
     from efficientteacher_tpu.ops.select_pallas import (
@@ -93,38 +94,15 @@ def main():
     print(json.dumps({"hw_exactness": "ok", "trials": 6}), flush=True)
 
     # --- timing inside the full eval program, both regimes ---
-    cfg = get_cfg()
-    cfg.Model.Backbone.name = "YoloV5"
-    cfg.Model.Neck.name = "YoloV5"
-    cfg.Model.Head.name = "YoloV5"
-    cfg.Model.Neck.in_channels = [256, 512, 1024]
-    cfg.Model.Neck.out_channels = [256, 512, 1024]
-    cfg.Model.width_multiple = 1.0
-    cfg.Model.depth_multiple = 1.0
-    cfg.Dataset.nc = 80
-    cfg.Dataset.img_size = 640
-
+    cfg = yolov5l_eval_cfg()
     spec = spec_from_cfg(cfg)
     model = Model(spec=spec, dtype=jnp.bfloat16)
     b, img = args.batch, 640
     fresh = model.init(jax.random.PRNGKey(0),
                        jnp.zeros((1, img, img, 3), jnp.bfloat16),
                        train=False)
-
-    def saturate_obj(variables, delta=10.0):
-        import flax
-
-        flat = flax.traverse_util.flatten_dict(variables["params"])
-        out = {}
-        for kk, v in flat.items():
-            if kk[-1] == "bias" and "head" in "/".join(kk).lower() and \
-                    v.ndim == 1 and v.size % 85 == 0:
-                vv = np.asarray(v).reshape(-1, 85).copy()
-                vv[:, 4] += delta
-                v = jnp.asarray(vv.reshape(-1))
-            out[kk] = v
-        return {"params": flax.traverse_util.unflatten_dict(out),
-                "batch_stats": variables["batch_stats"]}
+    fresh = {"params": fresh["params"],
+             "batch_stats": fresh["batch_stats"]}
 
     images = jnp.asarray(rng.integers(0, 255, (b, img, img, 3), np.uint8))
 

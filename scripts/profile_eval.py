@@ -9,9 +9,11 @@ TWO weight regimes and every ms/batch is bucketed:
       log(8/grid^2) so the 0.001 eval gate sees the sparse candidate field
       a converged detector produces;
   pathological:   obj bias +10 — every anchor's objectness saturates, ~all
-      lattice rows light, forcing ops/select_pallas's raw-top_k fallback
-      tier (reproduces the r4 bench regime, which timed a noise-trained
-      state).
+      lattice rows light, driving the hybrid selection engine onto its
+      dense-tail element-bisection path (ops/select_pallas).
+
+Regime construction is shared with bench.py / ab_selection.py via
+utils/eval_regimes (saturate_obj, yolov5l_eval_cfg).
 
 Buckets: forward conv / decode+elementwise / selection top_k (XLA sort) /
 Pallas compaction kernel / row gather / Pallas greedy NMS / copies / other.
@@ -89,50 +91,26 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
-    from efficientteacher_tpu.configs import get_cfg
     from efficientteacher_tpu.eval.validator import make_infer_fn
     from efficientteacher_tpu.models import Model
     from efficientteacher_tpu.models.spec import spec_from_cfg
+    from efficientteacher_tpu.utils.eval_regimes import (
+        saturate_obj, yolov5l_eval_cfg)
     from efficientteacher_tpu.utils.xprof import (
         capture, hlo_op_names, _conv_instructions,
     )
 
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
 
-    cfg = get_cfg()
-    cfg.Model.Backbone.name = "YoloV5"
-    cfg.Model.Neck.name = "YoloV5"
-    cfg.Model.Head.name = "YoloV5"
-    cfg.Model.Neck.in_channels = [256, 512, 1024]
-    cfg.Model.Neck.out_channels = [256, 512, 1024]
-    cfg.Model.width_multiple = 1.0
-    cfg.Model.depth_multiple = 1.0
-    cfg.Dataset.nc = 80
-    cfg.Dataset.img_size = 640
-
+    cfg = yolov5l_eval_cfg()
     spec = spec_from_cfg(cfg)
     model = Model(spec=spec, dtype=jnp.bfloat16)
     b, img = args.batch, 640
     fresh = model.init(jax.random.PRNGKey(0),
                        jnp.zeros((1, img, img, 3), jnp.bfloat16),
                        train=False)
-
-    def saturate_obj(variables, delta=10.0):
-        """+delta on every Detect head obj bias channel: obj sigmoid -> ~1
-        everywhere, all lattice rows light (the pathological regime)."""
-        import flax
-
-        flat = flax.traverse_util.flatten_dict(variables["params"])
-        out = {}
-        for k, v in flat.items():
-            if k[-1] == "bias" and "head" in "/".join(k).lower() and \
-                    v.ndim == 1 and v.size % 85 == 0:
-                vv = np.asarray(v).reshape(-1, 85).copy()
-                vv[:, 4] += delta
-                v = jnp.asarray(vv.reshape(-1))
-            out[k] = v
-        return {"params": flax.traverse_util.unflatten_dict(out),
-                "batch_stats": variables["batch_stats"]}
+    fresh = {"params": fresh["params"],
+             "batch_stats": fresh["batch_stats"]}
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 255, (b, img, img, 3), np.uint8))

@@ -113,3 +113,22 @@ def test_backend_torchscript(tmp_path):
     out = be(np.full((2, 8, 8, 3), 255, np.uint8))
     assert out.shape == (2, 84, 9)
     np.testing.assert_allclose(out, 1.0, atol=1e-5)  # mean(255/255) == 1
+
+
+def test_rescale_tf_guard_pixel_scale_passthrough():
+    """TF-family outputs are normalized xywh and get re-scaled to pixels
+    (reference utils/detect_multi_backend.py:312); a pre-contract artifact
+    that already emits pixel coords must pass through UNCHANGED (not be
+    silently double-scaled)."""
+    from efficientteacher_tpu.eval.multi_backend import DetectBackend
+
+    images = np.zeros((1, 64, 64, 3), np.uint8)
+    norm = np.zeros((1, 5, 9), np.float32)
+    norm[..., :4] = 0.5
+    out = DetectBackend._rescale_tf(norm.copy(), images)
+    np.testing.assert_allclose(out[..., :4], 32.0)  # 0.5 * 64
+
+    pixel = np.zeros((1, 5, 9), np.float32)
+    pixel[..., :4] = 48.0  # pixel-scale: > half the 64px input size
+    out = DetectBackend._rescale_tf(pixel.copy(), images)
+    np.testing.assert_allclose(out, pixel)

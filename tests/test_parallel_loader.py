@@ -127,6 +127,31 @@ def test_process_loader_surfaces_worker_errors():
             pass
 
 
+def test_process_loader_detects_partial_hard_death():
+    """ONE worker SIGKILLed mid-task (its batch is lost, its slot leaks)
+    while the others stay alive: the in-order cursor can never advance
+    past the lost seq and the survivors eventually starve on the slot
+    ring — the parent must raise, not hang. (An all-dead liveness check
+    misses this: the survivors are alive, just deadlocked.)"""
+    if not _FORK_OK:
+        pytest.skip("no fork")
+    import os
+    import signal
+
+    def build(bidx):
+        if bidx[0] == 6:  # a mid-epoch batch built by a forked worker
+            os.kill(os.getpid(), signal.SIGKILL)
+        return {"images": np.full((2, 4, 4, 3), bidx[0], np.uint8),
+                "indices": bidx}
+
+    batches = [[i, i + 1] for i in range(0, 24, 2)]
+    with pytest.raises(RuntimeError, match="died without reporting"):
+        for _ in iter_batches_processes(build, batches, workers=3,
+                                        reseed=lambda w: None, n_slots=3,
+                                        poll_timeout=1.0):
+            pass
+
+
 def test_process_loader_deterministic_order_and_content():
     """Reproducibility contract (parallel_loader.py determinism note):
     batches arrive in task order with content seeded per batch index —
