@@ -61,7 +61,15 @@ def exported(tmp_path_factory):
     save_checkpoint(ckpt, params=variables["params"],
                     batch_stats=variables["batch_stats"], half=False)
 
-    import export as export_cli
+    # load OUR export.py by path: the ref_compat parity harness puts
+    # /root/reference on sys.path[0], whose own export.py would win a
+    # bare `import export` when those tests ran earlier in the session
+    import importlib.util
+
+    _spec = importlib.util.spec_from_file_location(
+        "et_export_cli", Path(__file__).resolve().parents[1] / "export.py")
+    export_cli = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(export_cli)
 
     base = dict(cfg=str(yaml_path), weights=str(ckpt), opset=13,
                 img_size=IMG, batch=1, out=None, opts=[],
